@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Training-data-pipeline extensions (no reference counterpart). Scale
+design notes, per operator:
+
+  - exact: hash-groupBy on a fingerprint — one shuffle keyed by md5,
+    perfectly balanced (hash keys are uniform), the canonical 100 TB
+    dedup.
+  - n-gram Jaccard: shingle → inverted-index self-join → intersection
+    counts. The join key is the shingle, so cost is Σ bucket², not n².
+    This is the *verifier*; at corpus scale you run it only on LSH
+    candidates.
+  - MinHash+LSH: per-doc signatures via min(xxhash64(shingle, seed_i))
+    — an `explode` + one groupBy; banding turns near-dup search into an
+    equi-join on (band, band_hash), the classic sub-quadratic path.
+  - SimHash: 64 weighted bit-sums per doc (still one groupBy over the
+    exploded token frame); candidates via pigeonhole band join, verify
+    by popcount(xor) ≤ k.
+  - embedding cosine: exact pairwise restricted by a blocking key; the
+    ANN path lives in similarity.py.
+
+Everything is DataFrame-native (explode / groupBy / join / bit ops);
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import fingerprint_md5, tokens
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a document."""
+    t = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+        )
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text fingerprint.
+    Deterministic survivor choice (min id) — `dropDuplicates` would be
+    arbitrary-per-run."""
+    fp = fingerprint_md5(F.col(text_col)).alias("fp")
+    return (
+        docs.select(F.col(id_col), fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_index(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("__id"), F.explode(shingles(F.col(text_col), k)).alias("__sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, via inverted-
+    index self-join (pairs only materialize for docs sharing ≥1
+    shingle). Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    idx = _shingle_index(docs, text_col, id_col, k)
+    sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 32, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """num_perm MinHash values per doc: min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy with num_perm
+    min-aggregates — map-side combinable, shuffle ∝ docs × num_perm."""
+    idx = _shingle_index(docs, text_col, id_col, k)
+    aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    return idx.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then exact Jaccard
+    verification of candidates only. Sub-quadratic: candidate pairs
+    come from an equi-join on (band, band_hash)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col).alias("__id"), F.explode(band_cols).alias("b")).select(
+        "__id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col("l.__id") < F.col("r.__id")))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact shingle Jaccard
+    verified = ngram_jaccard_pairs(
+        docs.join(
+            cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct(), id_col
+        ),
+        threshold=0.0, k=k, text_col=text_col, id_col=id_col,
+    )
+    return (
+        cand.join(verified, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: weighted bit-vote over token hashes.
+    Explode tokens (with multiplicity weight) → 64 conditional sums →
+    sign → packed bigint. All codegen'd aggregates."""
+    tok = docs.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).withColumn("__h", F.xxhash64("__t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("__id").agg(*votes)
+    packed = agg.select(
+        F.col("__id").alias(id_col),
+        F.aggregate(
+            F.array(*[
+                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long"))
+                for b in range(64)
+            ]),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    Candidates via pigeonhole: split 64 bits into max_hamming+1 chunks;
+    any pair within distance must agree on ≥1 chunk → equi-join per
+    chunk, union, verify popcount(xor)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash(docs, text_col, id_col)
+    pieces = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("piece"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("p"),
+    ).select("__id", "simhash", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+    l, r = pieces.alias("l"), pieces.alias("r")
+    cand = (
+        l.join(r, (F.col("l.chunk") == F.col("r.chunk")) & (F.col("l.piece") == F.col("r.piece"))
+               & (F.col("l.__id") < F.col("r.__id")))
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
+            F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, threshold: float = 0.45, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact pairwise cosine near-dup over embeddings (double-precision
+    Column algebra; float arrays upcast first). Quadratic by design —
+    the verifier / small-corpus path; the ANN path is
+    similarity.lsh_bucketed_neighbors."""
+    v = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(
+                _dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

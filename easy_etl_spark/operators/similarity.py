@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+  - brute_force_topk: exact cosine top-k, query-set × corpus join +
+    ranked window. Baseline and verifier.
+  - lsh_bucketed_neighbors: random-hyperplane LSH (signed projections
+    onto deterministic pseudo-random planes) → candidates share a
+    bucket → exact re-rank within bucket. The 100 TB path: the corpus
+    is hashed once (linear scan), search cost ∝ bucket size.
+
+Planes are generated from a seeded hash (no RNG state, reproducible
+across runs/executors). Dot products are double-precision Column
+algebra via zip_with/aggregate — JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _normed(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(F.col(id_col).alias("__id"), v.alias("__v")).withColumn(
+        "__n", F.sqrt(_dot(F.col("__v"), F.col("__v")))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding
+    self). queries is a (id, vec) frame — broadcast against the corpus,
+    so the corpus is scanned once with no shuffle; the only shuffle is
+    the per-query top-k window, which WindowGroupLimit pushes down to
+    partial top-k before the exchange."""
+    corpus = _normed(emb, id_col, vec_col)
+    q = _normed(queries, id_col, vec_col).select(
+        F.col("__id").alias("__qid"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("__qid") != F.col("__id"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            F.round(_dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) =
+    centered hash in [-1, 1). Stateless & reproducible on every
+    executor."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(hashlib.md5(f"{p}:{d}".encode()).digest()[:8], "big")
+            row.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_ids(vec: Column, planes: list[list[float]]) -> Column:
+    """Pack sign(v·plane_p) bits into one bucket id."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(c) for c in plane])) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        for p, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_bucketed_neighbors(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: corpus and queries hashed into 2^n_planes
+    sign buckets; exact cosine re-rank only within the query's bucket.
+    Recall < 1 by construction (approximate); cost per query drops from
+    |corpus| to |bucket|."""
+    planes = hyperplanes(dim, n_planes)
+    corpus = _normed(emb, id_col, vec_col).withColumn("__b", bucket_ids(F.col("__v"), planes))
+    q = (
+        _normed(queries, id_col, vec_col)
+        .withColumn("__b", bucket_ids(F.col("__v"), planes))
+        .select(
+            F.col("__id").alias("__qid"), F.col("__v").alias("__qv"),
+            F.col("__n").alias("__qn"), "__b",
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(q), on="__b")
+        .filter(F.col("__qid") != F.col("__id"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            F.round(_dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

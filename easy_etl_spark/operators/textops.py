@@ -1,0 +1,111 @@
+"""Text-analysis operators over the `documents` table: tokenization,
+token counting, quality scoring, language-ID, fingerprinting.
+
+Beyond the reference's surface (exit99/easy-etl has no text ops) —
+these are the training-data-pipeline extensions. Everything is
+built-in-function Column algebra (split / size / filter / aggregate /
+md5 / xxhash64): zero Python UDFs, fully whole-stage-codegen, and
+embarrassingly parallel (per-row, no shuffle), so the same plan holds
+at 100 TB — the only shuffles below are the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny deterministic "stopword" profiles over the synthetic corpus
+#: vocabulary — the language-ID heuristic scores token overlap per
+#: profile and argmaxes (tie → profile priority order en > es > de).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow", "big"),
+    "es": ("data", "table", "row", "column", "value"),
+    "de": ("join", "merge", "group", "sort", "hash"),
+}
+
+STOPWORDS = ("the", "a")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (corpus is single-space separated)."""
+    return F.split(F.trim(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximating token count: words + punctuation splits, the
+    common `len(text)/4`-style estimator refined by a regex split —
+    deterministic, JVM-side."""
+    return F.size(F.split(F.trim(text), r"\s+|(?=[.,!?;:])"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(text)
+    stops = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return stops.cast("double") / F.size(t).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation ×
+    (1 - stopword ratio). Mirrors the shape of production quality
+    filters (length/punct/stopword mix) with reproducible arithmetic."""
+    t = tokens(text)
+    n = F.size(t).cast("double")
+    stops = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double")
+    return F.round(F.least(n / 100.0, F.lit(1.0)) * (1.0 - stops / n), 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    t = tokens(text)
+
+    def profile_count(words: tuple[str, ...]) -> Column:
+        # single-arg lambda: pyspark passes (element, index) to 2-arg
+        # lambdas, so the words must be bound via closure, not defaults
+        return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+    return {lang: profile_count(words) for lang, words in LANG_PROFILES.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of profile scores with fixed priority tie-break."""
+    s = lang_scores(text)
+    return (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]), F.lit("en"))
+        .when(s["es"] >= s["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text (lower +
+    trim). md5 exists in both Spark and DuckDB, so oracle-checkable."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def rolling_min_hash(text: Column, shingle_k: int = 3) -> Column:
+    """Rolling-hash document signature: min xxhash64 over k-token
+    shingles (a 1-permutation MinHash) — the winnowing-style compact
+    fingerprint for near-dup prefiltering."""
+    t = tokens(text)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - shingle_k, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, shingle_k))),
+    )
+    return F.array_min(shingles)
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document feature frame: one narrow projection, no shuffle."""
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        F.length(text).alias("n_chars_computed"),
+        F.round(stopword_ratio(text), 4).alias("stop_ratio"),
+        quality_score(text).alias("quality"),
+        lang_id(text).alias("lang_guess"),
+        fingerprint_md5(text).alias("fp_md5"),
+    )

@@ -537,3 +537,8 @@ def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders WHERE o_orderkey > {}"
     )
     return incremental_sql_extract(spark, sql, target, "o_orderkey")
+
+
+# extension catalog (dedup / similarity / text / multimodal / windows)
+# registers itself into QUERIES/ORACLES on import
+from . import queries_ext  # noqa: E402,F401

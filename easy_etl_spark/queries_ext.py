@@ -1,0 +1,303 @@
+"""Extension query catalog: dedup / similarity / text / multimodal /
+event-window operators, registered into the same QUERIES/ORACLES maps
+as the core catalog (imported from queries.py at module bottom).
+
+Oracle notes: cosine math is written with explicit double casts on
+both sides (DuckDB's list_cosine_similarity is float32 — NOT used);
+hash-based ops (MinHash/SimHash/LSH) have no DuckDB-computable
+equivalent (xxhash64) and register rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, textops
+from .queries import register
+from .session import load_table
+from .streaming import windows
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# ----------------------------------------------------------------------
+# Deduplication
+# ----------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir)).select("fp", "doc_id", "n_copies")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index n-gram Jaccard self-join, threshold 0.8 (the
+    planted near-dup pairs sit ≈0.99)."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB equivalent
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64-based
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum([x*x FOR x IN e])) AS nrm FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_zip(a.e, b.e).apply(p -> p[1]*p[2])) / (a.nrm*b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_zip(a.e, b.e).apply(p -> p[1]*p[2])) / (a.nrm*b.nrm) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine near-dup (double precision both sides)."""
+    return dedup.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+# ----------------------------------------------------------------------
+# Similarity search
+# ----------------------------------------------------------------------
+
+@register(
+    "knn_brute_force",
+    """
+    WITH v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_sum([x*x FOR x IN e])) AS nrm FROM v),
+    q AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_zip(q.e, c.e).apply(p -> p[1]*p[2])) / (q.nrm*c.nrm), 6) AS cosine
+      FROM q JOIN n c ON c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", "cosine", "rnk"
+    )
+
+
+@register("knn_lsh_bucketed")  # rows-only: approximate by construction
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_bucketed_neighbors(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", "cosine", "rnk"
+    )
+
+
+# ----------------------------------------------------------------------
+# Text analysis
+# ----------------------------------------------------------------------
+
+@register(
+    "text_profile",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars_computed,
+           round(len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks), 4) AS stop_ratio,
+           round(least(len(toks) / 100.0, 1.0)
+                 * (1 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks)), 4) AS quality,
+           CASE
+             WHEN len(list_filter(toks, x -> x IN ('the','a','fast','slow','big')))
+                  >= len(list_filter(toks, x -> x IN ('data','table','row','column','value')))
+              AND len(list_filter(toks, x -> x IN ('the','a','fast','slow','big')))
+                  >= len(list_filter(toks, x -> x IN ('join','merge','group','sort','hash')))
+             THEN 'en'
+             WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','value')))
+                  >= len(list_filter(toks, x -> x IN ('join','merge','group','sort','hash')))
+             THEN 'es'
+             ELSE 'de'
+           END AS lang_guess,
+           md5(lower(trim(text))) AS fp_md5
+    FROM t
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality + token counts + fingerprint in one
+    narrow per-row pass (textops.text_profile)."""
+    return textops.text_profile(_docs(spark, sf_dir))
+
+
+@register(
+    "text_stats_by_lang",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           sum(len(string_split(trim(text), ' '))) AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(textops.token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Multimodal plumbing
+# ----------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: encode → mapInPandas featurize; the
+    byte-length and content-hash columns are oracle-checked (the fake
+    feature vector itself is covered by unit tests)."""
+    media = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return multimodal.featurize(media).select("doc_id", "n_bytes", "content_hash")
+
+
+# ----------------------------------------------------------------------
+# Event-time windows (batch twins of the streaming jobs)
+# ----------------------------------------------------------------------
+
+@register(
+    "events_tumbling",
+    """
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP,
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.tumbling(_events(spark, sf_dir), minutes=60)
+
+
+@register(
+    "events_sliding",
+    """
+    WITH e AS (
+      SELECT value, to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS base FROM events
+    ),
+    x AS (
+      SELECT value, base - to_seconds(off) AS ws
+      FROM e, UNNEST([0, 1800]) AS t(off)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM x GROUP BY 1
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sliding(_events(spark, sf_dir), length_min=60, slide_min=30)
+
+
+@register(
+    "events_session",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ),
+    ids AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           round(sum(value), 2) AS sum_value
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.json_props_agg(_events(spark, sf_dir))

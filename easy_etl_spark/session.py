@@ -50,6 +50,14 @@ def get_spark(app_name: str = "easy-etl-spark", shuffle_partitions: int | None =
     partition count is data-dependent, so we set a static upper bound
     and let adaptive execution coalesce / split skewed partitions.
     """
+    # make the package importable on local-mode python workers even when
+    # the driver script runs from another cwd (UDF closures may still
+    # reference this package by module path)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)

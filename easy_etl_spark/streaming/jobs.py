@@ -1,0 +1,106 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference is batch-only by philosophy (easy_etl/README.md:3); this
+module is the engine's streaming extension. Each job is readStream →
+event-time transformation → sink, with watermarks for late data and
+state cleanup. The batch twins in streaming/windows.py share the same
+windowing math — the DuckDB oracle that validates those validates
+these aggregations' semantics.
+
+Jobs are exercised in tests with a file source over the driver's
+events parquet and Trigger.AvailableNow into a memory sink — the same
+code runs unmodified against Kafka/files on a cluster with a real
+checkpoint location.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-based stream over an events parquet directory. On a real
+    deployment this is the Kafka/file-drop source; schema must be
+    explicit for streaming reads."""
+    if schema is None:
+        static = spark.read.parquet(path)
+        schema = static.schema
+    df = spark.readStream.schema(schema).format("parquet").load(path)
+    # nanosecond-timestamp parquet arrives as long under nanosAsLong
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def tumbling_counts_stream(events: DataFrame, minutes: int = 60, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation: late events beyond the
+    watermark are dropped and window state is evicted — bounded state
+    at unbounded input."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (F.session_window) with watermark-driven
+    state expiry — the streaming twin of windows.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    dropDuplicates with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain a stream into an in-memory table with AvailableNow (test
+    harness; a deployment points this at a real sink + checkpoint)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan
+
+
+def foreach_batch_upsert(stream_df: DataFrame, sink, keys: list[str], checkpoint: str) -> DataStreamWriter:
+    """Streaming upsert: each micro-batch merges into the target via
+    ParquetSink.upsert (Delta MERGE on a real deployment) — reuses the
+    batch merge plan inside foreachBatch."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            sink.upsert(batch_df, keys)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,99 @@
+"""Event-time window operators over the `events` table — batch
+implementations whose semantics match the Structured Streaming jobs in
+streaming/jobs.py (same windowing math, so the oracle that validates
+these validates the streaming aggregations too).
+
+Tumbling/sliding use epoch-grid arithmetic (identical in Spark and
+DuckDB); sessionization is gaps-and-islands (lag → new-session flag →
+running sum), the batch equivalent of F.session_window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _grid(ts, seconds: int):
+    """Floor a timestamp onto an epoch grid (window start)."""
+    return F.timestamp_seconds(F.floor(F.unix_timestamp(ts) / seconds) * seconds)
+
+
+def tumbling(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Tumbling event-time windows: count + value stats per
+    (window, event_type). Pure groupBy — partial aggregation map-side,
+    shuffle ∝ #windows × #types."""
+    win = _grid(F.col("ts"), minutes * 60)
+    return (
+        events.groupBy(
+            F.date_format(win, FMT).alias("window_start"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact distinct for oracle parity; at 100 TB swap for
+            # approx_count_distinct (HLL) — one partial-agg pass.
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sliding(events: DataFrame, length_min: int = 60, slide_min: int = 30) -> DataFrame:
+    """Sliding windows via explicit window-start explode (each event
+    belongs to length/slide windows). Matches F.window(ts, length,
+    slide) semantics with oracle-expressible arithmetic."""
+    n = length_min // slide_min
+    slide_s = slide_min * 60
+    offsets = F.array(*[F.lit(i * slide_s) for i in range(n)])
+    base = _grid(F.col("ts"), slide_s)
+    return (
+        events.withColumn("__off", F.explode(offsets))
+        .withColumn("window_start", F.date_format(
+            F.timestamp_seconds(F.unix_timestamp(base) - F.col("__off")), FMT))
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session windows per user with a max-gap: gaps-and-islands.
+    Two windows over the same (user_id, ts) partitioning — one shuffle,
+    both windows pipeline on it."""
+    gap_s = gap_minutes * 60
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(by_user)) > gap_s, 1
+        )
+        .otherwise(0)
+    )
+    with_id = events.withColumn(
+        "__new", F.when(F.lag("ts").over(by_user).isNull(), 1).otherwise(new_sess)
+    ).withColumn("session_id", F.sum("__new").over(by_user.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_id.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), FMT).alias("session_start"),
+            F.date_format(F.max("ts"), FMT).alias("session_end"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def json_props_agg(events: DataFrame) -> DataFrame:
+    """Semi-structured props column: JSON path extraction + typed agg
+    (the multimodal-metadata pattern applied to JSON)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Dedup + similarity operator tests: synthetic frames with known
+ground truth, plus cross-checks between the exact and approximate
+paths on the driver's documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from easy_etl_spark.operators import dedup, similarity
+from easy_etl_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs_small(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "the quick brown fox jumps over the lazy dog today"),    # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, docs_small):
+    out = dedup.dedup_exact(docs_small)
+    survivors = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert survivors[1] == 2          # docs 1+2 collapse, min id survives
+    assert out.count() == 4
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs_small):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs_small, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # exact dup
+    assert (1, 5) in pairs                            # superset doc
+    assert all(4 not in p for p in pairs)             # unrelated doc excluded
+
+
+def test_minhash_lsh_matches_exact_on_real_docs(spark, sf_dir):
+    """LSH candidates verified with exact jaccard must equal the
+    brute-force jaccard pairs at the same threshold (banding at
+    b=8,r=4 has ~100% recall at j≥0.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           dedup.minhash_lsh_pairs(docs, threshold=0.7).collect()}
+    assert lsh == exact and exact  # non-empty: generator plants dups
+
+
+def test_simhash_near_dups(spark, docs_small):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.simhash_pairs(docs_small, max_hamming=16).collect()}
+    assert (1, 2) in pairs  # identical docs have identical simhash
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_small).collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             dedup.embedding_dup_pairs(emb, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.99
+
+
+def test_brute_force_topk_against_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 2")
+    out = similarity.brute_force_topk(emb, q, k=5).collect()
+    local = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in emb.collect()}
+    for qid in (0, 1):
+        sims = {
+            cid: float(v @ local[qid] / (np.linalg.norm(v) * np.linalg.norm(local[qid])))
+            for cid, v in local.items() if cid != qid
+        }
+        expect = sorted(sims, key=lambda c: (-round(sims[c], 6), c))[:5]
+        got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"]) if r["query_id"] == qid]
+        assert got == expect
+
+
+def test_lsh_neighbors_subset_of_exact_scores(spark, sf_dir):
+    """Approximate neighbors must report the same cosine as the exact
+    path for the same (query, neighbor) pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 3")
+    brute = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in similarity.brute_force_topk(emb, q, k=500).collect()}
+    approx = similarity.lsh_bucketed_neighbors(emb, q, k=5).collect()
+    assert approx  # buckets are non-degenerate on real data
+    for r in approx:
+        assert math.isclose(brute[(r["query_id"], r["neighbor_id"])], r["cosine"], abs_tol=1e-9)

@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from easy_etl_spark.operators import multimodal, textops
+from easy_etl_spark.session import load_table
+
+
+def test_text_profile_columns_and_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "the fast big table"), (2, "data table row value column")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.text_profile(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["lang_guess"] == "en"       # 'the','fast','big' hit en profile
+    assert out[2]["lang_guess"] == "es"       # data/table/row/value/column
+    assert out[1]["stop_ratio"] == 0.25       # 'the' of 4 tokens
+    assert 0.0 < out[1]["quality"] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    docs = spark.createDataFrame([(1, "  Hello World "), (2, "hello world")], "doc_id long, text string")
+    fps = [r["fp"] for r in docs.select(textops.fingerprint_md5(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_rolling_min_hash_deterministic(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    a = docs.select(textops.rolling_min_hash(F.col("text")).alias("h")).first()["h"]
+    b = docs.select(textops.rolling_min_hash(F.col("text")).alias("h")).first()["h"]
+    assert a == b and isinstance(a, int)
+
+
+def test_multimodal_featurize_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.with_binary_payload(docs)
+    assert dict(media.dtypes)["media"] == "binary"
+    out = multimodal.featurize(media, n_features=8)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r["features"])
+    # n_bytes equals utf-8 length of the source text
+    joined = out.join(docs, "doc_id").filter(F.col("n_bytes") != F.length("text")).count()
+    assert joined == 0
+
+
+def test_multimodal_featurize_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = multimodal.with_binary_payload(docs)
+    a = sorted(map(tuple, ((r["doc_id"], tuple(r["features"])) for r in multimodal.featurize(media).collect())))
+    b = sorted(map(tuple, ((r["doc_id"], tuple(r["features"])) for r in multimodal.featurize(media).collect())))
+    assert a == b
+
+
+def test_frame_sample_rows(spark):
+    docs = spark.createDataFrame([(1, "x" * 200)], "doc_id long, text string")
+    out = multimodal.frame_sample(multimodal.with_binary_payload(docs), every_n_bytes=64).collect()
+    assert [r["offset"] for r in sorted(out, key=lambda r: r["offset"])] == [0, 64, 128, 192]
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
