@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop-format write (full
+distributed materialization, no driver collect). Session build and
+first-touch JVM warmup are excluded from per-query times; a warmup
+pass over lineitem primes the file-scan caches the way a long-running
+cluster job would be warm.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from easy_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: core relational + every extension family
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_volume",
+    "q6_revenue_delta",
+    "topk_per_group",
+    "running_total",
+    "link_customer_nation",
+    "link_closest_shipdate",
+    "merge_upsert",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "knn_brute_force",
+    "text_profile",
+    "events_tumbling",
+    "events_session",
+]
+
+
+def main() -> None:
+    from easy_etl_spark.queries import QUERIES
+
+    spark = get_spark("easy-etl-spark-bench")
+    # warmup: prime JVM/codegen + page cache on the big table
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
