@@ -1,0 +1,54 @@
+"""Plan-inspection utilities: assert the physical plan is the one you
+want (broadcasts where dims are small, filters pushed to the scan,
+pruned read schemas, no accidental sort-merge joins or cartesian
+products). Used by tests/test_plan_quality.py as a regression gate so
+a future refactor can't silently trade a broadcast join for a 100 TB
+shuffle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanFacts:
+    text: str
+    broadcast_joins: int
+    sort_merge_joins: int
+    cartesian: int
+    exchanges: int
+    pushed_filters: list[str]
+    read_schemas: list[str]
+    codegen_stages: int
+
+    def scans_only_columns(self, *cols: str) -> bool:
+        """True if every scan's ReadSchema is a subset of cols."""
+        allowed = set(cols)
+        for rs in self.read_schemas:
+            got = set(re.findall(r"(\w+):", rs))
+            if not got <= allowed:
+                return False
+        return True
+
+
+def plan_facts(df: DataFrame) -> PlanFacts:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    s = buf.getvalue()
+    return PlanFacts(
+        text=s,
+        broadcast_joins=s.count("BroadcastHashJoin") + s.count("BroadcastNestedLoopJoin"),
+        sort_merge_joins=s.count("SortMergeJoin"),
+        cartesian=s.count("CartesianProduct"),
+        exchanges=s.count("Exchange"),
+        pushed_filters=[m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", s) if m],
+        read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", s),
+        codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", s))),
+    )

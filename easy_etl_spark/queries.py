@@ -539,6 +539,8 @@ def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_sql_extract(spark, sql, target, "o_orderkey")
 
 
-# extension catalog (dedup / similarity / text / multimodal / windows)
-# registers itself into QUERIES/ORACLES on import
+# extension catalogs register themselves into QUERIES/ORACLES on import:
+# queries_ext = dedup / similarity / text / multimodal / event windows;
+# queries_more = deeper relational coverage + UDF/facade-in-the-gate
 from . import queries_ext  # noqa: E402,F401
+from . import queries_more  # noqa: E402,F401

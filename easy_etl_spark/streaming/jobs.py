@@ -51,6 +51,23 @@ def tumbling_counts_stream(events: DataFrame, minutes: int = 60, watermark: str 
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame, length_min: int = 60, slide_min: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked sliding-window aggregation (F.window with slide) —
+    streaming twin of windows.sliding."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{length_min} minutes", f"{slide_min} minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_window_stream(events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours") -> DataFrame:
     """Native session windows (F.session_window) with watermark-driven
     state expiry — the streaming twin of windows.sessionize."""

@@ -1,0 +1,57 @@
+"""Physical-plan regression gate: the 100 TB design promises live
+here. If a refactor turns a broadcast dim join into a sort-merge
+shuffle, drops scan pushdown, or widens a pruned read schema, these
+fail before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+from easy_etl_spark.plans.explain import plan_facts
+from easy_etl_spark.queries import QUERIES
+
+
+def _facts(spark, sf_dir, name):
+    return plan_facts(QUERIES[name](spark, sf_dir))
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    f = _facts(spark, sf_dir, "q1_pricing_summary")
+    assert any("l_shipdate" in p for p in f.pushed_filters), "shipdate filter not pushed to scan"
+    assert f.scans_only_columns(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ), f"scan reads more than needed: {f.read_schemas}"
+    # codegen stage ids only appear in executed AQE plans, so plan-text
+    # assertions stop at pushdown/pruning here
+
+
+def test_q3_all_dim_joins_broadcast(spark, sf_dir):
+    f = _facts(spark, sf_dir, "q3_top_orders")
+    assert f.sort_merge_joins == 0, "dim join degraded to sort-merge"
+    assert f.broadcast_joins >= 2
+    assert any("c_mktsegment" in p for p in f.pushed_filters)
+
+
+def test_q5_no_cartesian_no_smj(spark, sf_dir):
+    f = _facts(spark, sf_dir, "q5_region_volume")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0
+    assert f.broadcast_joins >= 4
+
+
+def test_link_is_broadcast(spark, sf_dir):
+    f = _facts(spark, sf_dir, "link_customer_nation")
+    assert f.broadcast_joins >= 1 and f.sort_merge_joins == 0
+
+
+def test_ignore_prunes_scan(spark, sf_dir):
+    # dropping columns must narrow the parquet scan itself
+    f = _facts(spark, sf_dir, "ignore_drop")
+    assert f.scans_only_columns("o_orderkey", "o_custkey", "o_orderstatus"), f.read_schemas
+
+
+def test_incremental_watermark_pushdown(spark, sf_dir):
+    f = _facts(spark, sf_dir, "incremental_watermark")
+    assert any("o_orderkey" in p and "GreaterThan" in p for p in f.pushed_filters), (
+        "watermark predicate not pushed to scan: " + str(f.pushed_filters)
+    )

@@ -1,0 +1,57 @@
+"""File-format source coverage (parquet/CSV/JSON round-trips) — a
+capability superset of the reference, which reads only live DBs
+(easy_etl/tests/conftest.py:19-20)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from easy_etl_spark.sources.readers import file_scan
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double")
+    path = str(tmp_path / "t_csv")
+    src.write.option("header", "true").csv(path)
+    back = file_scan(spark, path, "csv")
+    assert back.count() == 2
+    assert {r["name"] for r in back.collect()} == {"a", "b"}
+    assert dict(back.dtypes)["v"] == "double"  # inferSchema default on
+
+
+def test_json_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame([(1, {"k": "x"}), (2, {"k": "y"})], "id long, props map<string,string>")
+    path = str(tmp_path / "t_json")
+    src.write.json(path)
+    back = file_scan(spark, path, "json")
+    assert back.count() == 2
+    assert back.filter(F.col("props.k") == "x").count() == 1
+
+
+def test_parquet_format_inferred_from_extension(spark, sf_dir):
+    df = file_scan(spark, f"{sf_dir}/region.parquet")
+    assert df.count() == 5
+
+
+def test_sliding_stream_job(spark, sf_dir, tmp_path):
+    """Sliding-window streaming twin of windows.sliding."""
+    import shutil
+
+    from easy_etl_spark.session import table_path
+    from easy_etl_spark.streaming import jobs
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), d / "p.parquet")
+    stream = jobs.read_events_stream(spark, str(d))
+    agg = jobs.sliding_counts_stream(stream, length_min=60, slide_min=30)
+    jobs.run_to_memory(agg, "t_sliding")
+    got = {r["window_start"]: r["n_events"] for r in spark.table("t_sliding").collect()}
+    from easy_etl_spark.session import load_table
+    from easy_etl_spark.streaming import windows
+
+    batch = {
+        r["window_start"]: r["n_events"]
+        for r in windows.sliding(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == batch and got
