@@ -1,0 +1,54 @@
+"""Scale utilities: skew-salted joins and bucketed co-location.
+
+These are the knobs a 100 TB deployment turns when AQE's automatic
+skew splitting and broadcast thresholds aren't enough:
+
+  - salted_join: explode a hot build-side key into `salt` replicas and
+    scatter the probe side across them — turns one straggler partition
+    into `salt` even ones. Use when one key holds >~1 partition of
+    rows and the small side can afford `salt`× replication.
+  - bucket_write / bucketed co-location: pre-shuffle both join sides
+    into the same bucket layout once, so every subsequent join on the
+    bucket key is shuffle-free (Spark reuses the bucketing as the
+    required distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to a skewed `key` distribution on `big`.
+
+    big rows get a random-but-deterministic salt in [0, salt); small
+    rows are replicated across all salts. The join key becomes
+    (key, salt), splitting each hot key's rows across `salt` reducers.
+    Column set of the result matches big ⋈ small on `key`.
+    """
+    salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    replicated = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return salted_big.join(replicated, [key, "__salt"], how).drop("__salt")
+
+
+def bucket_write(df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True) -> None:
+    """Persist `df` bucketed (and sorted) by the join key. Two tables
+    written with the same (key, buckets) join with ZERO exchange —
+    the shuffle is paid once at write time instead of per query."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def co_located_join(spark, left_table: str, right_table: str, key: str, how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables; with bucketing aligned Spark
+    plans SortMergeJoin with no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

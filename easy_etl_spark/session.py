@@ -77,6 +77,12 @@ def get_spark(app_name: str = "easy-etl-spark", shuffle_partitions: int | None =
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed tables (operators.scale) need a catalog warehouse;
+        # keep it out of the repo tree (static conf, set at build time)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/easy_etl_spark_warehouse"),
+        )
     )
     return builder.getOrCreate()
 

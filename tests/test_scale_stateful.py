@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from easy_etl_spark.operators.scale import bucket_write, co_located_join, salted_join
+from easy_etl_spark.plans.explain import plan_facts
+from easy_etl_spark.session import load_table, table_path
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = (
+        li.join(o, "l_orderkey")
+        .agg(F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2))
+        .first()
+    )
+    salted = (
+        salted_join(li, o, "l_orderkey", salt=8)
+        .agg(F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2))
+        .first()
+    )
+    assert tuple(plain) == tuple(salted)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    bucket_write(li, "b_lineitem", "l_orderkey", buckets=8)
+    bucket_write(o, "b_orders", "l_orderkey", buckets=8)
+    joined = co_located_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+    # disable broadcast so the test exercises the bucketed SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        facts = plan_facts(joined)
+        assert facts.exchanges == 0, facts.text  # bucketing replaced the shuffle
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_stateful_user_profile_stream(spark, sf_dir, tmp_path):
+    from easy_etl_spark.streaming import jobs
+    from easy_etl_spark.streaming.stateful import user_profile_stream
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), d / "p.parquet")
+    stream = jobs.read_events_stream(spark, str(d))
+    out = user_profile_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in spark.table("t_profiles").collect()}
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == want and got
