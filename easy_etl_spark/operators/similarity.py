@@ -87,6 +87,134 @@ def bucket_ids(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_lists: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """Deterministic Lloyd iterations, DataFrame-native: assignment is
+    a vectorized numpy pass per partition (centroids broadcast), the
+    centroid update is a groupBy-avg over exploded dimensions. Init =
+    the n_lists lowest-id vectors (reproducible, no RNG). Only the
+    n_lists × dim centroid table ever reaches the driver."""
+    import numpy as np
+
+    seeds = emb.orderBy(id_col).limit(n_lists).select(vec_col).collect()
+    centroids = np.array([r[0] for r in seeds], dtype="float64")
+    v = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    spark = emb.sparkSession
+    for _ in range(iters):
+        b_c = spark.sparkContext.broadcast(centroids)
+
+        def assign(batches):
+            import pandas as pd
+
+            c = b_c.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["__v"].to_numpy())
+                # nearest centroid by euclidean distance
+                d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame({"__id": pdf["__id"], "__v": pdf["__v"], "list_id": d.argmin(axis=1)})
+
+        assigned = v.mapInPandas(assign, "__id bigint, __v array<double>, list_id int")
+        upd = (
+            assigned.select("list_id", F.posexplode("__v").alias("dim", "val"))
+            .groupBy("list_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        for r in upd:
+            centroids[r["list_id"], r["dim"]] = r["m"]
+    return centroids.tolist()
+
+
+def ivf_neighbors(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbors: coarse-quantize the corpus
+    into n_lists k-means cells, probe only the n_probe cells nearest
+    each query, exact cosine re-rank within them. Search cost per query
+    drops from |corpus| to n_probe/n_lists of it; the inverted lists
+    are just a `list_id` column, so at 100 TB they become partition
+    keys and probing is partition pruning."""
+    import numpy as np
+
+    centroids = np.array(kmeans_centroids(emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col))
+    spark = emb.sparkSession
+    b_c = spark.sparkContext.broadcast(centroids)
+
+    def assign_one(batches):
+        import pandas as pd
+
+        c = b_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["__v"].to_numpy())
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({"__id": pdf["__id"], "__v": pdf["__v"], "list_id": d.argmin(axis=1)})
+
+    def assign_probes(batches):
+        import pandas as pd
+
+        c = b_c.value
+        n = len(c)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["__v"].to_numpy())
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            probes = d.argsort(axis=1)[:, : min(n_probe, n)]
+            out = pdf.loc[pdf.index.repeat(probes.shape[1])].reset_index(drop=True)
+            out["list_id"] = probes.reshape(-1)
+            yield out[["__id", "__v", "list_id"]]
+
+    v = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    corpus = v.mapInPandas(assign_one, "__id bigint, __v array<double>, list_id int").withColumn(
+        "__n", F.sqrt(_dot(F.col("__v"), F.col("__v")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("__qid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        .withColumnRenamed("__qid", "__id")
+        .mapInPandas(assign_probes, "__id bigint, __v array<double>, list_id int")
+        .select(
+            F.col("__id").alias("__qid"), F.col("__v").alias("__qv"), "list_id"
+        )
+        .withColumn("__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
+    )
+    scored = (
+        corpus.join(F.broadcast(q), on="list_id")
+        .filter(F.col("__qid") != F.col("__id"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            F.round(_dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n")), 6).alias("cosine"),
+        )
+        .distinct()  # a neighbor can appear via multiple probed lists
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def lsh_bucketed_neighbors(
     emb: DataFrame,
     queries: DataFrame,

@@ -145,6 +145,15 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ivf")  # rows-only: approximate by construction
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_neighbors(emb, queries_df, k=10, n_lists=8, n_probe=3).select(
+        "query_id", "neighbor_id", "cosine", "rnk"
+    )
+
+
 # ----------------------------------------------------------------------
 # Text analysis
 # ----------------------------------------------------------------------

@@ -193,3 +193,17 @@ def test_pipeline_reset_after_load(spark, tmp_path):
     pipe.transform("n_name").lower()
     pipe.load(sink)
     assert pipe._extract is None and not pipe._staged_transforms
+
+
+def test_types_before_transforms_interaction(spark):
+    # execution-order contract (easy_etl/__init__.py:101-106): types
+    # cast first, then transforms see the casted value — reference
+    # leaves this untested (SURVEY.md §5); we pin it.
+    pipe = EtlPipeline(spark).extract(
+        "SELECT l_quantity FROM lineitem LIMIT 5", types={"l_quantity": int}
+    )
+    pipe.transform("l_quantity").func(lambda v: v * 2, return_type="long")
+    df = pipe.dataframe()
+    assert dict(df.dtypes)["l_quantity"] == "bigint"
+    vals = [r[0] for r in df.collect()]
+    assert all(isinstance(v, int) and v % 2 == 0 for v in vals)

@@ -65,3 +65,15 @@ def test_frame_sample_rows(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_bpe_ish_token_count_splits_punctuation(spark):
+    import pyspark.sql.functions as F
+
+    from easy_etl_spark.operators.textops import bpe_ish_token_count, token_count
+
+    docs = spark.createDataFrame([(1, "hello,world. how are you?")], "doc_id long, text string")
+    ws = docs.select(token_count(F.col("text")).alias("n")).first()["n"]
+    bpe = docs.select(bpe_ish_token_count(F.col("text")).alias("n")).first()["n"]
+    assert ws == 4          # whitespace sees 4 blobs
+    assert bpe == 7         # punctuation boundaries add splits
