@@ -128,35 +128,64 @@ def _asof_broadcast(fact, dim, field, child_field, name, method, id_col):
     return joined.withColumnRenamed("__lid", out).drop("__v")
 
 
-def _asof_merge(fact, dim, field, child_field, name, method, id_col, bands: int = 64):
-    """Merge-asof for large dims: banded window, no cartesian blowup.
+def _band_expr(value: Column, cuts: list) -> Column:
+    """Band index of ``value`` given sorted cut points: the number of
+    cuts ≤ value. A pure Column expression over a literal array, so
+    banding costs no join/shuffle. Equal values always share a band."""
+    arr = F.array(*[F.lit(c) for c in cuts])
+    return F.size(F.filter(arr, lambda c: c <= value))
 
-    Rows are hashed into value bands by ``ntile`` over the *dim* child
-    distribution (approximated by percentile buckets); each dim row is
-    also replicated into the adjacent band so the running ``last``
-    carries across band edges. Direction '<='/'<' scans ascending,
-    '>='/'>' descending.
+
+def _asof_merge(fact, dim, field, child_field, name, method, id_col, bands: int = 64):
+    """Merge-asof for large dims: quantile-banded window + driver-side
+    band carry. No cartesian blowup, no single-partition window.
+
+    1. Cut the value domain into ``bands`` ranges at dim-child quantiles
+       (``approx_percentile`` — one distributed aggregate).
+    2. Union-tag fact values and dim rows, window ``last(id) IGNORE
+       NULLS`` *partitioned by band* in scan order (asc for '<='/'<',
+       desc for '>='/'>') — each band resolves independently in
+       parallel.
+    3. Bands whose answer lives in an earlier band get it from a carry
+       map: per band, the dim row the running ``last`` would end on
+       (one dim-only window + a ≤``bands``-row collect, prefix-filled
+       on the driver).
+    Result: shuffle keyed by band (balanced by construction — quantile
+    cuts equalize row counts), window state bounded by band size.
     """
     out = name or field
     asc = method in ("<=", "<")
     strict = method in ("<", ">")
 
-    f = fact.select(F.col(field).alias("__v")).distinct().withColumn("__is_dim", F.lit(0)).withColumn(
-        "__id", F.lit(None).cast("bigint")
-    )
     d = dim.select(
-        F.col(child_field).alias("__v"), F.lit(1).alias("__is_dim"), F.col(id_col).cast("bigint").alias("__id")
+        F.col(child_field).alias("__v"),
+        F.lit(1).alias("__is_dim"),
+        F.col(id_col).cast("bigint").alias("__id"),
+    ).filter(F.col("__v").isNotNull())  # NULL child never satisfies the op
+    # quantile cut points over the dim child (numeric/date/timestamp all
+    # order correctly through a double cast; fall back to 1 band if the
+    # type can't cast)
+    try:
+        probs = [i / bands for i in range(1, bands)]
+        qrow = d.agg(
+            F.expr(f"approx_percentile(cast(__v as double), array({','.join(str(p) for p in probs)}))").alias("q")
+        ).first()
+        cuts = sorted(set(qrow["q"] or []))
+    except Exception:
+        cuts = []
+
+    f = (
+        fact.select(F.col(field).alias("__v"))
+        .distinct()
+        .withColumn("__is_dim", F.lit(0))
+        .withColumn("__id", F.lit(None).cast("bigint"))
     )
     unioned = f.unionByName(d)
-    # band by value so the window parallelizes; replicate dim rows into
-    # the neighboring band to seed its running value.
-    banded = unioned.withColumn("__band", F.pmod(F.xxhash64(F.lit(0)), F.lit(1)))  # placeholder single band
-    # NOTE: true banding needs the dim's value quantiles; with small test
-    # dims a single band is exact and fast. The banded variant is the
-    # documented scale path; quantile-banding lands when a large-dim
-    # benchmark exists.
+    band = _band_expr(F.col("__v").cast("double"), cuts) if cuts else F.lit(0)
+    banded = unioned.withColumn("__band", band)
+
     order = F.col("__v").asc() if asc else F.col("__v").desc()
-    # ties: dim row must be visible to fact rows of equal value only for
+    # ties: dim rows are visible to equal-valued fact rows only for
     # inclusive ops — order dim before fact within equal values.
     tie = F.col("__is_dim").desc() if not strict else F.col("__is_dim").asc()
     # duplicate dim children: min id must win first-match → put it last
@@ -166,7 +195,42 @@ def _asof_merge(fact, dim, field, child_field, name, method, id_col, bands: int 
         .orderBy(order, tie, F.col("__id").desc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = banded.withColumn("__lid", F.last(F.when(F.col("__is_dim") == 1, F.col("__id")), ignorenulls=True).over(w))
+    carried = banded.withColumn(
+        "__lid", F.last(F.when(F.col("__is_dim") == 1, F.col("__id")), ignorenulls=True).over(w)
+    )
+
+    if cuts:
+        # per-band terminal dim id = what the running last ends on:
+        # extreme value in scan direction, min id on value ties.
+        dim_banded = d.withColumn("__band", _band_expr(F.col("__v").cast("double"), cuts))
+        wd = Window.partitionBy("__band").orderBy(
+            F.col("__v").desc() if asc else F.col("__v").asc(), F.col("__id").asc()
+        )
+        winners = (
+            dim_banded.withColumn("__rn", F.row_number().over(wd))
+            .filter(F.col("__rn") == 1)
+            .select("__band", "__id")
+            .collect()
+        )
+        terminal = {r["__band"]: r["__id"] for r in winners}
+        # prefix-fill in scan order: carry_in[b] = terminal id of the
+        # nearest earlier band that has one.
+        scan = sorted(set(terminal) | set(range(len(cuts) + 1)))
+        if not asc:
+            scan = list(reversed(scan))
+        carry_in: dict[int, int] = {}
+        prev = None
+        for b in scan:
+            carry_in[b] = prev
+            if b in terminal:
+                prev = terminal[b]
+        entries = [x for b, c in carry_in.items() if c is not None for x in (F.lit(b), F.lit(c))]
+        if entries:
+            carry_map = F.create_map(*entries)
+            carried = carried.withColumn(
+                "__lid", F.coalesce(F.col("__lid"), carry_map[F.col("__band")])
+            )
+
     mapping = carried.filter(F.col("__is_dim") == 0).select("__v", "__lid")
     joined = fact.join(mapping, fact[field] == F.col("__v"), "left")
     if out == field:

@@ -35,6 +35,43 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def dense_ids(df: DataFrame, id_col: str = "id", offset: int = 0) -> DataFrame:
+    """Dense sequential ids starting at ``offset + 1`` without a global
+    single-partition window (the naive ``row_number() OVER (ORDER BY
+    ...)`` funnels every row through one task — fatal at scale).
+
+    Scheme (zipWithIndex in DataFrame terms): count rows per partition
+    (a tiny numPartitions-row aggregate), prefix-sum the counts on the
+    driver, then id = partition's start + intra-partition row_number.
+    The only window is partitioned by ``spark_partition_id`` — embar-
+    rassingly parallel. Requires a deterministic input plan (the frame
+    is evaluated twice); parquet-backed lineage qualifies.
+    """
+    part = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__ord", F.monotonically_increasing_id()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    starts: dict[int, int] = {}
+    acc = offset
+    for pid in sorted(counts):
+        starts[pid] = acc
+        acc += counts[pid]
+    if not starts:  # empty frame: id column still has to exist
+        return df.withColumn(id_col, F.lit(None).cast("long")).select(id_col, *df.columns)
+    start_map = F.create_map(
+        *[lit for pid, s in starts.items() for lit in (F.lit(pid), F.lit(s))]
+    )
+    w = Window.partitionBy("__pid").orderBy("__ord")
+    return (
+        part.withColumn(id_col, F.row_number().over(w) + start_map[F.col("__pid")])
+        .drop("__pid", "__ord")
+        .select(id_col, *df.columns)
+    )
+
+
 class ParquetSink:
     """A target 'table' backed by a parquet directory."""
 
@@ -58,17 +95,11 @@ class ParquetSink:
 
     # -- surrogate keys ---------------------------------------------
     def _with_ids(self, df: DataFrame, offset: int) -> DataFrame:
-        """Dense ids continuing from ``offset``. Dense sequencing needs a
-        total order; we pay one window here because reference parity
-        (dense auto-increment, README.md:180) demands it. Callers that
-        don't need dense ids should pre-assign
-        ``monotonically_increasing_id`` and skip this."""
+        """Dense ids continuing from ``offset`` (reference parity:
+        auto-increment ``id``, README.md:180)."""
         if self.id_col in df.columns:
             return df
-        w = Window.orderBy(F.monotonically_increasing_id())
-        return df.withColumn(self.id_col, F.row_number().over(w) + F.lit(offset)).select(
-            self.id_col, *df.columns
-        )
+        return dense_ids(df, self.id_col, offset)
 
     # -- writes -----------------------------------------------------
     def _swap_write(self, df: DataFrame) -> None:
@@ -127,9 +158,9 @@ class ParquetSink:
         # carry existing ids onto updated rows (first match per key)
         id_map = current.select(self.id_col, *keys).dropDuplicates(keys)
         matched = src.join(id_map, on=keys, how="inner")
-        inserts = src.join(current.select(*keys), on=keys, how="left_anti")
-        w = Window.orderBy(F.monotonically_increasing_id())
-        inserts = inserts.withColumn(self.id_col, F.row_number().over(w) + F.lit(offset))
+        inserts = dense_ids(
+            src.join(current.select(*keys), on=keys, how="left_anti"), self.id_col, offset
+        )
 
         if not safe:
             stale = [c for c in survivors.columns if c not in src.columns and c != self.id_col]

@@ -64,6 +64,31 @@ def test_link_closest_strict(spark, dim, fact, strategy):
     assert lt == {2: None, 3: None, 4: 1, 6: 3}
 
 
+@pytest.mark.parametrize("method", [">=", ">", "<=", "<"])
+def test_link_closest_merge_multiband_matches_broadcast(spark, method):
+    # large dim → quantile banding engages (64 bands); the banded
+    # merge-asof must agree with the exhaustively-correct broadcast
+    # path, including empty bands, duplicate children, and no-match
+    # edges at both ends of the domain.
+    import random
+
+    rng = random.Random(7)
+    dim_rows = [(rng.randrange(0, 3000), i + 1) for i in range(800)]
+    fact_rows = [(rng.randrange(-50, 3100),) for _ in range(500)]
+    dim = spark.createDataFrame(dim_rows, "child long, id long")
+    fact = spark.createDataFrame(fact_rows, "f long")
+    b = {r["f"]: r["cid"] for r in asof_link(fact, dim, "f", "child", name="cid", method=method, strategy="broadcast").collect()}
+    m = {r["f"]: r["cid"] for r in asof_link(fact, dim, "f", "child", name="cid", method=method, strategy="merge").collect()}
+    assert m == b
+
+
+def test_link_closest_merge_ignores_null_dim_children(spark):
+    dim = spark.createDataFrame([(None, 1), (5, 2)], "child long, id long")
+    fact = spark.createDataFrame([(4,), (9,)], "f long")
+    out = {r["f"]: r["cid"] for r in asof_link(fact, dim, "f", "child", name="cid", method=">=", strategy="merge").collect()}
+    assert out == {4: 2, 9: None}
+
+
 def test_link_closest_duplicate_children_first_match(spark):
     dim = spark.createDataFrame([(3, 1), (3, 2), (5, 3)], "child long, id long")
     fact = spark.createDataFrame([(1,), (4,)], "f long")
