@@ -105,6 +105,12 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signatures_from_index(idx: DataFrame, num_perm: int, id_col: str) -> DataFrame:
+    aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    wide = idx.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    return wide.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
 def minhash_signatures(
     docs: DataFrame, num_perm: int = 32, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -117,10 +123,7 @@ def minhash_signatures(
     array expressions ~4× on cold JVMs — and the shuffle it adds is
     map-side-combined down to docs × num_perm longs, which is the
     cheap part of a 100 TB dedup."""
-    idx = _shingle_index(docs, text_col, id_col, k)
-    aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    wide = idx.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
-    return wide.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+    return _signatures_from_index(_shingle_index(docs, text_col, id_col, k), num_perm, id_col)
 
 
 def minhash_lsh_pairs(
@@ -134,9 +137,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact Jaccard
     verification of candidates only. Sub-quadratic: candidate pairs
-    come from an equi-join on (band, band_hash)."""
+    come from an equi-join on (band, band_hash).
+
+    The shingle inverted index is built once and persisted — it feeds
+    both the signature aggregation and the exact verification, and the
+    verification joins it *per candidate pair* rather than self-joining
+    the whole index (shingle work is the dominant cost; candidates are
+    a vanishing fraction of the corpus at any scale)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
+    idx = _shingle_index(docs, text_col, id_col, k).persist()
+    sigs = _signatures_from_index(idx, num_perm, id_col)
     # band hash = xxhash64 of the band's signature slice (arrays hash
     # as a whole); one explode to (id, band, bh) bucket rows
     band_cols = F.transform(
@@ -156,15 +166,26 @@ def minhash_lsh_pairs(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact shingle Jaccard
-    verified = ngram_jaccard_pairs(
-        docs.join(
-            cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct(), id_col
-        ),
-        threshold=0.0, k=k, text_col=text_col, id_col=id_col,
+    # verify candidates with exact shingle Jaccard, computed only for
+    # candidate pairs: |A∩B| via a pair-restricted index join.
+    sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    ia = idx.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    ib = idx.select(F.col("__id").alias("__idb"), F.col("__sh").alias("__shb"))
+    inter = (
+        cand.join(ia, "id_a")
+        .join(ib, (F.col("id_b") == F.col("__idb")) & (F.col("__sha") == F.col("__shb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     return (
-        cand.join(verified, ["id_a", "id_b"])
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")), 4),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
