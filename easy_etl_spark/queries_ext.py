@@ -310,3 +310,20 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.json_props_agg(_events(spark, sf_dir))
+
+
+@register(
+    "events_interval_join",
+    """
+    SELECT a.user_id AS user_id, a.event_id AS left_id, b.event_id AS right_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (jobs.
+    interval_join_stream): click→purchase pairs within 30 minutes."""
+    return windows.interval_pairs(_events(spark, sf_dir), "click", "purchase", 30)

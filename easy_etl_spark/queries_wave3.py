@@ -370,3 +370,93 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
     )
+
+
+@register(
+    "pivot_status_by_flag",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): quantity by linestatus column per returnflag.
+    Explicit value list → no extra distinct-values job; compiles to one
+    conditional aggregate (same plan as the CASE-sum oracle)."""
+    l = _t(spark, sf_dir, "lineitem")
+    piv = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv
+
+
+@register(
+    "percentiles_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). The approximate path for 100 TB is
+    `approx_percentile` (t-digest, mergeable, one pass) — exact is the
+    oracle-checkable twin."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@register(
+    "systematic_sample",
+    """
+    SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sampled_total
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-20 systematic sample on the key — the
+    reproducible, engine-portable stand-in for TABLESAMPLE (whose RNG
+    never matches across engines). At scale this predicate pushes to
+    the scan like any filter."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 20 == 0).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sampled_total")
+    )
+
+
+@register(
+    "array_ops_embeddings",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_component
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    JVM-side (no-UDF) path for vector math: transform/aggregate/filter
+    stay inside whole-stage codegen."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    sq = F.transform(F.col("embedding"), lambda x: x.cast("double") * x)
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)), 4).alias("l2_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_component"),
+    )

@@ -121,7 +121,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
-        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+        # integer `div`, NOT `/`: float division casts the ns long to
+        # double (> 2^53) and loses up to ~256 ns before flooring
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 

@@ -30,7 +30,8 @@ def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame
     df = spark.readStream.schema(schema).format("parquet").load(path)
     # nanosecond-timestamp parquet arrives as long under nanosAsLong
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer `div` (float division would round the >2^53 ns long)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 
@@ -120,4 +121,40 @@ def foreach_batch_upsert(stream_df: DataFrame, sink, keys: list[str], checkpoint
         stream_df.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition —
+    the canonical Spark pattern: both sides watermarked, and the
+    time-bound in the join predicate lets the engine evict buffered
+    rows once the watermark passes left.ts + interval (bounded state).
+    Streaming twin of windows.interval_pairs."""
+    a = (
+        left.filter(F.col("event_type") == left_type)
+        .select("user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("lts"))
+        .withWatermark("lts", watermark)
+    )
+    b = (
+        right.filter(F.col("event_type") == right_type)
+        .select(F.col("user_id").alias("uid2"), F.col("event_id").alias("right_id"), F.col("ts").alias("rts"))
+        .withWatermark("rts", watermark)
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("uid2"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") < F.col("lts") + F.expr(f"INTERVAL {minutes} MINUTES")),
+    ).select(
+        "user_id",
+        "left_id",
+        "right_id",
+        (F.unix_micros("rts") - F.unix_micros("lts")).alias("gap_us"),
     )

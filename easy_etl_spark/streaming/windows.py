@@ -97,3 +97,36 @@ def json_props_agg(events: DataFrame) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def interval_pairs(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    minutes: int = 30,
+) -> DataFrame:
+    """Batch twin of the stream-stream interval join: (left, right)
+    event pairs per user where the right event lands in
+    [left.ts, left.ts + minutes). The join is an equi-join on user_id
+    with a range residual — Catalyst shuffles on user_id only, so
+    parallelism tracks the user dimension, not the interval."""
+    a = events.filter(F.col("event_type") == left_type).select(
+        "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("__lts")
+    )
+    b = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("__uid"), F.col("event_id").alias("right_id"), F.col("ts").alias("__rts")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("__uid"))
+            & (F.col("__rts") >= F.col("__lts"))
+            & (F.col("__rts") < F.col("__lts") + F.expr(f"INTERVAL {minutes} MINUTES")),
+        )
+        .select(
+            "user_id",
+            "left_id",
+            "right_id",
+            (F.unix_micros("__rts") - F.unix_micros("__lts")).alias("gap_us"),
+        )
+    )

@@ -69,3 +69,20 @@ def test_foreach_batch_upsert(spark, events_dir, tmp_path):
     assert out is not None and out.count() > 0
     # keys unique after merge
     assert out.groupBy("window_start", "event_type").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir, events_dir):
+    stream = jobs.read_events_stream(spark, events_dir)
+    joined = jobs.interval_join_stream(stream, stream, "click", "purchase", 30)
+    jobs.run_to_memory(joined, "t_interval_join")
+    got = {
+        (r["user_id"], r["left_id"], r["right_id"], r["gap_us"])
+        for r in spark.table("t_interval_join").collect()
+    }
+    batch = {
+        (r["user_id"], r["left_id"], r["right_id"], r["gap_us"])
+        for r in windows.interval_pairs(
+            load_table(spark, sf_dir, "events"), "click", "purchase", 30
+        ).collect()
+    }
+    assert got == batch and got
