@@ -40,6 +40,11 @@ HEADLINE = [
     "text_profile",
     "events_tumbling",
     "events_session",
+    "q9_profit_by_nation",
+    "q13_customer_distribution",
+    "q21_exclusive_returns",
+    "events_interval_join",
+    "knn_ivf",
 ]
 
 

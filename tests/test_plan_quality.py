@@ -55,3 +55,35 @@ def test_incremental_watermark_pushdown(spark, sf_dir):
     assert any("o_orderkey" in p and "GreaterThan" in p for p in f.pushed_filters), (
         "watermark predicate not pushed to scan: " + str(f.pushed_filters)
     )
+
+
+def test_q9_dim_joins_broadcast_and_like_pushdown(spark, sf_dir):
+    f = _facts(spark, sf_dir, "q9_profit_by_nation")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 3, "part/supplier/nation should all broadcast at this SF"
+    # LIKE '%red%' reaches the part scan as a pushed Contains filter
+    assert any("p_name" in p for p in f.pushed_filters), f.pushed_filters
+
+
+def test_q7_nation_broadcasts(spark, sf_dir):
+    f = _facts(spark, sf_dir, "q7_nation_volume")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2
+
+
+def test_systematic_sample_predicate_pushed(spark, sf_dir):
+    # o_orderkey % 20 isn't a parquet-native predicate, but column
+    # pruning must still hold: only the two needed columns are read
+    f = _facts(spark, sf_dir, "systematic_sample")
+    assert f.scans_only_columns("o_orderkey", "o_totalprice"), f.read_schemas
+
+
+def test_q15_scalar_max_is_broadcast_not_sort(spark, sf_dir):
+    f = _facts(spark, sf_dir, "q15_top_supplier")
+    assert f.broadcast_joins >= 1
+    assert f.sort_merge_joins == 0, "scalar-max comparison degraded to sort-merge"
+
+
+def test_interval_join_shuffles_on_user_only(spark, sf_dir):
+    f = _facts(spark, sf_dir, "events_interval_join")
+    assert f.cartesian == 0, "interval join must stay an equi-join with range residual"
