@@ -191,6 +191,64 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Resolve near-dup *pairs* into duplicate *clusters*: connected
+    components by iterative min-label propagation. Returns
+    (doc_id, cluster_id) for every doc appearing in a pair, where
+    cluster_id = the smallest doc id in its component (the canonical
+    survivor).
+
+    Scale design: each iteration is one shuffle (join on node +
+    min-aggregate); iterations needed = component diameter, and
+    near-dup clusters are small and dense (diameter 1-3 in practice),
+    so the loop converges in a handful of rounds. `localCheckpoint`
+    truncates the growing lineage each round — without it the plan
+    doubles per iteration. Convergence is detected exactly (count of
+    changed labels), so the `max_iter` cap is a safety valve, not a
+    correctness knob. For adversarial billion-edge graphs swap in
+    hash-to-min (O(log n) rounds); for training-data dedup this is
+    the right simple tool.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every clustered doc except its cluster's canonical (min-id)
+    member: one broadcast-able anti-join against the losers list."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc: weighted bit-vote over token hashes.
     Explode tokens (with multiplicity weight) → 64 conditional sums →

@@ -327,3 +327,44 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream interval join (jobs.
     interval_join_stream): click→purchase pairs within 30 minutes."""
     return windows.interval_pairs(_events(spark, sf_dir), "click", "purchase", 30)
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, src AS m FROM edges
+      UNION
+      SELECT r.node, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+    )
+    SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (n-gram Jaccard ≥ 0.8) resolved into duplicate
+    clusters via distributed connected components; the DuckDB oracle
+    computes the same components with a recursive transitive closure."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return dedup.duplicate_clusters(pairs)

@@ -100,3 +100,26 @@ def test_lsh_neighbors_subset_of_exact_scores(spark, sf_dir):
     assert approx  # buckets are non-degenerate on real data
     for r in approx:
         assert math.isclose(brute[(r["query_id"], r["neighbor_id"])], r["cosine"], abs_tol=1e-9)
+
+
+def test_duplicate_clusters_chain_and_islands(spark):
+    # chain 1-2-3-4 must collapse to one component (transitivity);
+    # 10-11 is a separate island; all label to their min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_survivors_keep_canonical(spark, docs_small):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    clusters = dedup.duplicate_clusters(pairs)
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_survivors(docs_small, clusters).collect()
+    )
+    all_ids = sorted(r["doc_id"] for r in docs_small.collect())
+    assert kept == [i for i in all_ids if i != 2]
