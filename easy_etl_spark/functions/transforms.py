@@ -48,7 +48,9 @@ def falsy_default(df: DataFrame, field: str, default_value: Any) -> Column:
 
 
 def _replace(col: Column, old: str, new: str) -> Column:
-    # str.replace semantics = literal (non-regex) replacement.
+    # str.replace semantics = literal (non-regex) replacement. The
+    # 3-arg Python form (count) falls back to the UDF via the
+    # TypeError guard in apply_transform.
     return F.replace(col, F.lit(old), F.lit(new))
 
 
@@ -56,19 +58,31 @@ def _round_col(col: Column, ndigits: int = 0) -> Column:
     return F.round(col, ndigits)
 
 
-#: method name -> Column builder taking (col, *args). Native = fast path.
-NATIVE_METHODS: dict[str, Callable[..., Column]] = {
-    "upper": lambda c: F.upper(c),
-    "lower": lambda c: F.lower(c),
-    "strip": lambda c: F.trim(c),
-    "lstrip": lambda c: F.ltrim(c),
-    "rstrip": lambda c: F.rtrim(c),
-    "title": lambda c: F.initcap(c),
-    "capitalize": lambda c: F.concat(F.upper(F.substring(c, 1, 1)), F.lower(F.expr(f"substring({'_c_'}, 2)"))),  # replaced below
-    "replace": _replace,
-    "zfill": lambda c, n: F.lpad(c, n, "0"),
-    "round": _round_col,
-}
+def _strip(col: Column) -> Column:
+    # str.strip() removes ALL whitespace (\t\n\r\f\v + space), not just
+    # spaces — F.trim would be wrong. Java \s covers the ASCII set.
+    return F.regexp_replace(col.cast("string"), r"^\s+|\s+$", "")
+
+
+def _lstrip(col: Column) -> Column:
+    return F.regexp_replace(col.cast("string"), r"^\s+", "")
+
+
+def _rstrip(col: Column) -> Column:
+    return F.regexp_replace(col.cast("string"), r"\s+$", "")
+
+
+def _zfill(col: Column, n: int) -> Column:
+    # str.zfill: never truncates, pads after a leading sign
+    s = col.cast("string")
+    return (
+        F.when(F.length(s) >= n, s)
+        .when(
+            s.startswith("-") | s.startswith("+"),
+            F.concat(F.substring(s, 1, 1), F.lpad(F.substring(s, 2, 2_000_000_000), n - 1, "0")),
+        )
+        .otherwise(F.lpad(s, n, "0"))
+    )
 
 
 def _capitalize(col: Column) -> Column:
@@ -76,7 +90,22 @@ def _capitalize(col: Column) -> Column:
     return F.concat(F.upper(F.substring(s, 1, 1)), F.lower(F.substring(s, 2, 2_000_000_000)))
 
 
-NATIVE_METHODS["capitalize"] = _capitalize
+#: method name -> Column builder taking (col, *args). Native = fast path.
+#: NOT here on purpose: ``title`` — Python title() uppercases after any
+#: non-cased char ('0a'.title() == '0A', "don't" → "Don'T") which
+#: F.initcap (whitespace words + lowercased rest) does not replicate;
+#: it takes the exact-semantics UDF fallback instead.
+NATIVE_METHODS: dict[str, Callable[..., Column]] = {
+    "upper": lambda c: F.upper(c),
+    "lower": lambda c: F.lower(c),
+    "strip": _strip,
+    "lstrip": _lstrip,
+    "rstrip": _rstrip,
+    "capitalize": _capitalize,
+    "replace": _replace,
+    "zfill": _zfill,
+    "round": _round_col,
+}
 
 
 def python_method_udf(method: str, args: tuple, kwargs: dict) -> Callable[[Column], Column]:
@@ -138,5 +167,10 @@ def apply_transform(df: DataFrame, field: str, method: str, args: tuple, kwargs:
         return df.withColumn(field, F.udf(fn, rtype)(F.col(field)))
     native = NATIVE_METHODS.get(method)
     if native is not None:
-        return df.withColumn(field, native(F.col(field), *args, **kwargs))
+        try:
+            return df.withColumn(field, native(F.col(field), *args, **kwargs))
+        except TypeError:
+            # arg shape the native mapping doesn't cover (e.g.
+            # replace(old, new, count), strip(chars)) → exact UDF path
+            pass
     return df.withColumn(field, python_method_udf(method, args, kwargs)(F.col(field)))

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): the reference's semantic quirks
+hold for *arbitrary* inputs, not just the fixture rows.
+
+The reference's own tests assert invariants on random 3-row tables
+(easy_etl/tests/conftest.py:8-21); this is the same idea pushed
+further — each property states the contract the Spark implementation
+must share with plain Python semantics.
+
+One Spark job per example is slow, so each property batches all
+hypothesis-drawn rows into ONE DataFrame per example set.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+from easy_etl_spark.functions.transforms import apply_transform, falsy_default
+from easy_etl_spark.operators.links import asof_link
+from easy_etl_spark.sources.sinks import dense_ids
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-ish strings incl. empties, tabs/newlines, whitespace edges
+_texts = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=126),
+        st.sampled_from("\t\n"),
+    ),
+    max_size=20,
+)
+
+
+@given(vals=st.lists(st.one_of(st.none(), _texts), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_falsy_default_matches_python_or(spark, vals):
+    # reference: `data or default` (easy_etl/__init__.py:147) — falsy
+    # (None, '') replaced, everything else kept
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v string")
+    out = df.withColumn("v", falsy_default(df, "v", "X"))
+    got = {r["i"]: r["v"] for r in out.collect()}
+    assert got == {i: (v or "X") for i, v in enumerate(vals)}
+
+
+@given(
+    vals=st.lists(_texts, min_size=1, max_size=20),
+    chain=st.lists(
+        st.sampled_from(
+            ["upper", "lower", "strip", "lstrip", "rstrip", "title", "capitalize", "swapcase"]
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**_SETTINGS)
+def test_transform_chain_matches_python_method_chain(spark, vals, chain):
+    # chained transforms apply in call order, each resolving to the
+    # value's own method (easy_etl/__init__.py:170-191); the native
+    # Column whitelist must agree with CPython string semantics
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v string")
+    out = df
+    for m in chain:
+        out = apply_transform(out, "v", m, (), {})
+    got = {r["i"]: r["v"] for r in out.collect()}
+    for i, v in enumerate(vals):
+        expect = v
+        for m in chain:
+            expect = getattr(expect, m)()
+        assert got[i] == expect, (v, chain)
+
+
+@given(
+    dim_vals=st.lists(st.integers(-100, 100), min_size=1, max_size=30),
+    fact_vals=st.lists(st.integers(-120, 120), min_size=1, max_size=30),
+    method=st.sampled_from([">=", ">", "<=", "<"]),
+)
+@settings(**_SETTINGS)
+def test_asof_link_matches_naive_python(spark, dim_vals, fact_vals, method):
+    # directional first-match semantics (easy_etl/__init__.py:121-135):
+    # smallest child ≥ value (ASC ops) / largest child ≤ value (DESC),
+    # min id on duplicate children, NULL when nothing qualifies
+    dim_rows = [(v, i + 1) for i, v in enumerate(dim_vals)]
+    fact_rows = [(v,) for v in fact_vals]
+    dim = spark.createDataFrame(dim_rows, "child long, id long")
+    fact = spark.createDataFrame(fact_rows, "f long")
+    out = {
+        r["f"]: r["cid"]
+        for r in asof_link(fact, dim, "f", "child", name="cid", method=method).collect()
+    }
+    ops = {">=": lambda c, v: c >= v, ">": lambda c, v: c > v,
+           "<=": lambda c, v: c <= v, "<": lambda c, v: c < v}
+    for v in fact_vals:
+        qual = [(c, i) for c, i in dim_rows if ops[method](c, v)]
+        if not qual:
+            expect = None
+        elif method in (">=", ">"):
+            best = min(c for c, _ in qual)
+            expect = min(i for c, i in qual if c == best)
+        else:
+            best = max(c for c, _ in qual)
+            expect = min(i for c, i in qual if c == best)
+        assert out[v] == expect, (v, method)
+
+
+@given(n=st.integers(1, 200), parts=st.integers(1, 8), offset=st.integers(0, 1000))
+@settings(**_SETTINGS)
+def test_dense_ids_always_dense_from_offset(spark, n, parts, offset):
+    df = spark.range(n).repartition(parts)
+    out = dense_ids(df, "id2", offset)
+    ids = sorted(r["id2"] for r in out.collect())
+    assert ids == list(range(offset + 1, offset + n + 1))
