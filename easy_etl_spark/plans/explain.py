@@ -24,6 +24,7 @@ class PlanFacts:
     cartesian: int
     exchanges: int
     pushed_filters: list[str]
+    partition_filters: list[str]
     read_schemas: list[str]
     codegen_stages: int
 
@@ -49,6 +50,7 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         cartesian=s.count("CartesianProduct"),
         exchanges=s.count("Exchange"),
         pushed_filters=[m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", s) if m],
+        partition_filters=[m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", s) if m],
         read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", s),
         codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", s))),
     )

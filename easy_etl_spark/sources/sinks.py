@@ -73,12 +73,26 @@ def dense_ids(df: DataFrame, id_col: str = "id", offset: int = 0) -> DataFrame:
 
 
 class ParquetSink:
-    """A target 'table' backed by a parquet directory."""
+    """A target 'table' backed by a parquet directory.
 
-    def __init__(self, spark: SparkSession, path: str, id_col: str = "id"):
+    ``partition_by`` writes hive-style partition directories
+    (col=value/...), the load-bearing layout at 100 TB: queries
+    filtering on the partition columns prune whole directories at
+    planning time (PartitionFilters in the scan), and incremental
+    loads touch only the partitions they land in.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "id",
+        partition_by: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.id_col = id_col
+        self.partition_by = list(partition_by or [])
 
     # -- inspection -------------------------------------------------
     def exists(self) -> bool:
@@ -106,7 +120,10 @@ class ParquetSink:
         """Write to a staging dir then atomically replace the target —
         needed because the plan may read the same path it replaces."""
         staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staging)
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
         os.replace(staging, self.path)
@@ -126,6 +143,21 @@ class ParquetSink:
         offset_row = current.agg(F.max(self.id_col).alias("m")).first()
         offset = offset_row["m"] or 0
         incoming = self._with_ids(df, offset)
+
+        # partitioned fast path: when no schema sync is requested and
+        # the schema already matches, append only the touched partition
+        # directories instead of rewriting the table — the difference
+        # between O(batch) and O(table) work on a 100 TB target.
+        if (
+            self.partition_by
+            and safe
+            and ensure is not False
+            and dict(incoming.dtypes) == dict(current.dtypes)  # names AND types
+        ):
+            incoming.select(*current.columns).write.mode("append").partitionBy(
+                *self.partition_by
+            ).parquet(self.path)
+            return
 
         keep_current = current
         if not safe:

@@ -207,3 +207,37 @@ def test_types_before_transforms_interaction(spark):
     assert dict(df.dtypes)["l_quantity"] == "bigint"
     vals = [r[0] for r in df.collect()]
     assert all(isinstance(v, int) and v % 2 == 0 for v in vals)
+
+
+def test_partitioned_sink_layout_and_pruning(spark, tmp_path):
+    import os
+
+    from easy_etl_spark.plans.explain import plan_facts
+
+    sink = ParquetSink(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    nations = spark.sql("SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    sink.append(nations)
+    # hive-style partition directories exist
+    subdirs = {d for d in os.listdir(sink.path) if d.startswith("n_regionkey=")}
+    assert len(subdirs) == 5, subdirs
+    # reading with a partition predicate prunes at planning time
+    back = sink.read().filter(F.col("n_regionkey") == 2)
+    f = plan_facts(back)
+    assert any("n_regionkey" in p for p in f.partition_filters), f.text
+    assert back.count() == nations.filter("n_regionkey = 2").count()
+
+
+def test_partitioned_fast_append_only_touches_partitions(spark, tmp_path):
+    sink = ParquetSink(spark, str(tmp_path / "t"), partition_by=["n_regionkey"])
+    nations = spark.sql("SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    sink.append(nations)
+    before = {r["id"] for r in sink.read().collect()}
+    extra = spark.createDataFrame(
+        [(99, "NEWLAND", 2)],
+        spark.sql("SELECT n_nationkey, n_name, n_regionkey FROM nation LIMIT 0").schema,
+    )
+    sink.append(extra, safe=True)  # fast path: partition-wise append
+    after = sink.read()
+    assert after.count() == len(before) + 1
+    new = after.filter(F.col("n_nationkey") == 99).first()
+    assert new["id"] == max(before) + 1 and new["n_regionkey"] == 2
