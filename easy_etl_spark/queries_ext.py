@@ -368,3 +368,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same components with a recursive transitive closure."""
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
     return dedup.duplicate_clusters(pairs)
+
+
+@register(
+    "udtf_chunk_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS chunk_text,
+           len(toks[(i*8+1):(i*8+8)]) AS n_tokens
+    FROM t, unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS g(i)
+    """,
+)
+def udtf_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → fixed-token-window chunks via a Python UDTF (Spark 4
+    table function, LATERAL-joined) — context-window chunking for
+    training pipelines (functions/udtfs.py)."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _docs(spark, sf_dir).filter(F.col("doc_id") < 50).createOrReplaceTempView("__chunk_in")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM __chunk_in t, LATERAL chunk_tokens(t.doc_id, t.text) c
+        """
+    )

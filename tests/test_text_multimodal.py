@@ -77,3 +77,19 @@ def test_bpe_ish_token_count_splits_punctuation(spark):
     bpe = docs.select(bpe_ish_token_count(F.col("text")).alias("n")).first()["n"]
     assert ws == 4          # whitespace sees 4 blobs
     assert bpe == 7         # punctuation boundaries add splits
+
+
+def test_udtf_chunk_tokens_windows(spark):
+    from easy_etl_spark.functions.udtfs import ChunkTokens, register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    ).createOrReplaceTempView("__t")
+    rows = spark.sql(
+        "SELECT c.* FROM __t, LATERAL chunk_tokens(doc_id, text) c ORDER BY chunk_idx"
+    ).collect()
+    assert [(r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in rows] == [
+        (0, "a b c d e f g h", 8),
+        (1, "i j", 2),
+    ]
