@@ -106,7 +106,7 @@ def kmeans_centroids(
     v = emb.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    )
+    ).persist()  # read once; every Lloyd iteration re-scans this frame
     spark = emb.sparkSession
     for _ in range(iters):
         b_c = spark.sparkContext.broadcast(centroids)
@@ -132,6 +132,7 @@ def kmeans_centroids(
         )
         for r in upd:
             centroids[r["list_id"], r["dim"]] = r["m"]
+    v.unpersist()
     return centroids.tolist()
 
 
