@@ -67,6 +67,11 @@ def link(
     ``row[field]`` (easy_etl/__init__.py:133-135).
     """
     out = name or field
+    if id_col not in dim.columns:
+        # reference dims always carry an auto-increment id (README.md:
+        # 180, created by the tool's own loads); a raw dim without one
+        # gets a deterministic surrogate keyed by the lookup field.
+        dim = with_surrogate_id(dim, child_field, id_col)
     # first-match on duplicate dim keys: min id per key (deterministic).
     lookup = dim.groupBy(F.col(child_field).alias("__lk")).agg(F.min(id_col).alias("__lid"))
     joined = fact.join(F.broadcast(lookup), fact[field] == F.col("__lk"), "left")
@@ -94,6 +99,8 @@ def asof_link(
     """
     if method not in _ASOF_OPS:
         raise ValueError(f"method must be one of {_ASOF_OPS}")
+    if id_col not in dim.columns:
+        dim = with_surrogate_id(dim, child_field, id_col)
     if strategy == "merge":
         return _asof_merge(fact, dim, field, child_field, name, method, id_col)
     return _asof_broadcast(fact, dim, field, child_field, name, method, id_col)

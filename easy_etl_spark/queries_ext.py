@@ -397,3 +397,33 @@ def udtf_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __chunk_in t, LATERAL chunk_tokens(t.doc_id, t.text) c
         """
     )
+
+
+@register(
+    "events_rollup_reuse",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS b, count(*) AS n, sum(value) AS s
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT date_trunc('day', b) AS b, sum(n) AS n, sum(s) AS s
+      FROM hourly GROUP BY 1
+    ),
+    monthly AS (
+      SELECT date_trunc('month', b) AS b, sum(n) AS n, sum(s) AS s
+      FROM daily GROUP BY 1
+    )
+    SELECT grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start, n,
+           round(s, 2) AS total, round(s / n, 4) AS avg_value
+    FROM (
+      SELECT 'hour' AS grain, * FROM hourly
+      UNION ALL SELECT 'day', * FROM daily
+      UNION ALL SELECT 'month', * FROM monthly
+    )
+    """,
+)
+def events_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour→day→month rollup with partial-aggregate reuse
+    (streaming/windows.py:rollup_reuse)."""
+    return windows.rollup_reuse(_events(spark, sf_dir))

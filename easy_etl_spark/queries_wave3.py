@@ -317,11 +317,15 @@ def q21_exclusive_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of two correlated self-joins."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    stats = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("__r_supp"),
+    # two ordinary aggregates instead of two DISTINCT aggregates: the
+    # (orderkey, suppkey) pre-aggregation replaces Catalyst's Expand
+    # (which would double the shuffled rows) with a plain count
+    per_supp = (
+        l.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("__has_r"))
+    )
+    stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"), F.sum("__has_r").alias("__r_supp")
     )
     l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     return (

@@ -130,3 +130,39 @@ def interval_pairs(
             (F.unix_micros("__rts") - F.unix_micros("__lts")).alias("gap_us"),
         )
     )
+
+
+def rollup_reuse(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Multi-granularity rollup where coarser grains re-aggregate the
+    finer grain's partials (the continuous-aggregate / hypertable
+    pattern): hour → day → month each read the previous level's
+    (count, sum) pairs, never the raw events again. At 100 TB the raw
+    scan happens once; every additional grain costs only
+    |hourly rows| ≈ |raw| / fan-in. avg is derived sum/count at each
+    level, which re-aggregates exactly (unlike averaging averages).
+
+    Output: one row per (grain, bucket_start) with n, total, avg.
+    """
+    hourly = (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", F.col("b")).alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", F.col("b")).alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    out = None
+    for grain, df in (("hour", hourly), ("day", daily), ("month", monthly)):
+        level = df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "n",
+            F.round("s", 2).alias("total"),
+            F.round(F.col("s") / F.col("n"), 4).alias("avg_value"),
+        )
+        out = level if out is None else out.unionByName(level)
+    return out
