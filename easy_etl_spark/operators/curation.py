@@ -1,0 +1,54 @@
+"""End-to-end corpus curation: the flagship training-data pipeline
+composed from the engine's own operators —
+
+    quality filter  →  exact dedup  →  near-dup clustering  →
+    canonical survivors
+
+Each stage is an already-verified operator (textops.text_profile,
+dedup.dedup_exact, dedup.ngram_jaccard_pairs, dedup.duplicate_clusters,
+dedup.dedup_survivors); this module only wires them, so the DuckDB
+oracle for the composition is the composition of their oracles.
+
+Scale shape: one scan of the corpus feeds the profile; the quality
+filter prunes before any pairwise work; exact dedup is one hash
+shuffle; near-dup pairing runs on the deduplicated remainder only
+(at 100 TB swap the exact-Jaccard pair generator for
+dedup.minhash_lsh_pairs — same downstream contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_exact, dedup_survivors, duplicate_clusters, minhash_lsh_pairs, ngram_jaccard_pairs
+from .textops import text_profile
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quality_threshold: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    use_lsh: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Return (doc_id, quality) for documents that survive curation:
+    quality ≥ threshold, not an exact duplicate (min-id survivor per
+    fingerprint), and the canonical member of any near-dup cluster.
+
+    ``use_lsh=True`` swaps the exact pair generator for MinHash+LSH —
+    identical contract, sub-quadratic candidates (the 100 TB path).
+    """
+    prof = text_profile(docs).select(id_col, "quality")
+    good = docs.join(prof, id_col).filter(F.col("quality") >= quality_threshold)
+
+    # exact dedup: keep the min-id survivor per normalized fingerprint
+    survivors = dedup_exact(good, text_col, id_col).select(id_col)
+    g2 = good.join(survivors, id_col, "left_semi")
+
+    pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
+    pairs = pair_fn(g2, threshold=jaccard_threshold, text_col=text_col, id_col=id_col)
+    clusters = duplicate_clusters(pairs)
+    clean = dedup_survivors(g2, clusters, id_col)
+    return clean.select(id_col, "quality")

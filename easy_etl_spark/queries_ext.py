@@ -427,3 +427,49 @@ def events_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour→day→month rollup with partial-aggregate reuse
     (streaming/windows.py:rollup_reuse)."""
     return windows.rollup_reuse(_events(spark, sf_dir))
+
+
+@register(
+    "curate_corpus",
+    """
+    WITH RECURSIVE
+    t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id, text, toks,
+             round(least(len(toks) / 100.0, 1.0)
+                   * (1 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks)), 4) AS quality
+      FROM t
+    ),
+    good AS (SELECT * FROM q WHERE quality >= 0.5),
+    ex AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(lower(trim(text)))),
+    g2 AS (SELECT good.* FROM good JOIN ex USING (doc_id)),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      FROM g2, UNNEST(generate_series(1, greatest(len(toks)-2, 1))) AS gg(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT src AS node, src AS m FROM edges
+              UNION SELECT r.node, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+    labels AS (SELECT node, min(m) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, quality FROM g2
+    WHERE doc_id NOT IN (SELECT node FROM labels WHERE node != cluster_id)
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation pipeline: quality filter → exact dedup →
+    near-dup clustering → canonical survivors (operators/curation.py),
+    oracle-checked end to end."""
+    from .operators.curation import curate_corpus as _curate
+
+    return _curate(_docs(spark, sf_dir), quality_threshold=0.5, jaccard_threshold=0.8)

@@ -123,3 +123,14 @@ def test_dedup_survivors_keep_canonical(spark, docs_small):
     )
     all_ids = sorted(r["doc_id"] for r in docs_small.collect())
     assert kept == [i for i in all_ids if i != 2]
+
+
+def test_curate_corpus_lsh_path_matches_exact(spark, sf_dir):
+    """The 100 TB pair generator (MinHash+LSH) must curate the exact
+    same survivor set as the exhaustive Jaccard path."""
+    from easy_etl_spark.operators.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r["doc_id"] for r in curate_corpus(docs, 0.5, 0.8).collect()}
+    lsh = {r["doc_id"] for r in curate_corpus(docs, 0.5, 0.8, use_lsh=True).collect()}
+    assert lsh == exact and exact
