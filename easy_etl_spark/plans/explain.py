@@ -52,5 +52,32 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         pushed_filters=[m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", s) if m],
         partition_filters=[m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", s) if m],
         read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", s),
-        codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", s))),
+        # formatted explain marks codegen membership as "[codegen id : N]"
+        codegen_stages=len(set(re.findall(r"\[codegen id : (\d+)\]", s))),
+    )
+
+
+def executed_plan_facts(df: DataFrame) -> PlanFacts:
+    """PlanFacts from the *executed* (AQE-final) plan: runs the query
+    to completion first, so codegen spans ("*(N)") and AQE's runtime
+    join/coalesce choices are visible. Must execute via an action on
+    THIS Dataset — a .write would plan a separate command and leave
+    this QueryExecution at isFinalPlan=false."""
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()  # executes THIS QueryExecution, no driver collect
+    s = qe.executedPlan().toString()
+    # AQE prints "== Final Plan ==" then "== Initial Plan ==": count
+    # only the final (runtime-adapted) section
+    s = s.split("== Initial Plan ==")[0]
+    return PlanFacts(
+        text=s,
+        broadcast_joins=s.count("BroadcastHashJoin") + s.count("BroadcastNestedLoopJoin"),
+        sort_merge_joins=s.count("SortMergeJoin"),
+        cartesian=s.count("CartesianProduct"),
+        exchanges=s.count("Exchange"),
+        pushed_filters=[m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", s) if m],
+        partition_filters=[m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", s) if m],
+        read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", s),
+        # executed-plan text prefixes codegen'd operators with "*(N) "
+        codegen_stages=len(set(re.findall(r"\*\((\d+)\)", s))),
     )

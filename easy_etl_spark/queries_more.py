@@ -372,3 +372,24 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe.link("c_nationkey", dim, "n_nationkey", name="nation_id")
     pipe.ignore("c_mktsegment")
     return pipe.dataframe().select("c_custkey", "c_name", "nation_id")
+
+
+@register("sketch_distinct_users")  # rows-only: sketch estimates have no exact oracle
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting, the 100 TB cardinality path:
+    approx_count_distinct (HyperLogLog++, one mergeable partial-agg
+    pass — no shuffle of distinct values) plus a DataSketches HLL
+    sketch column (hll_sketch_agg) whose binary sketches can be merged
+    across partitions/days (hll_union_agg) without re-scanning. The
+    error-bound contract vs exact is pinned in
+    tests/test_scale_stateful.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("hll_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

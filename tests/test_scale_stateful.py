@@ -74,3 +74,25 @@ def test_stateful_user_profile_stream(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_sketch_distinct_bounded_error(spark, sf_dir):
+    """HLL estimates must land within the configured relative error of
+    the exact distinct counts (2% rsd ⇒ assert 5% to absorb tail)."""
+    import pyspark.sql.functions as F
+
+    from easy_etl_spark.queries import QUERIES
+    from easy_etl_spark.session import load_table
+
+    got = {r["event_type"]: r for r in QUERIES["sketch_distinct_users"](spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for et, n in exact.items():
+        assert abs(got[et]["approx_users"] - n) <= max(1, 0.05 * n), (et, got[et]["approx_users"], n)
+        assert abs(got[et]["hll_users"] - n) <= max(1, 0.05 * n), (et, got[et]["hll_users"], n)
