@@ -80,6 +80,12 @@ class ParquetSink:
     filtering on the partition columns prune whole directories at
     planning time (PartitionFilters in the scan), and incremental
     loads touch only the partitions they land in.
+
+    ``cluster_by`` range-partitions and sorts rows within each output
+    file on the given columns before writing — parquet row-group
+    min/max statistics then become selective, so point/range
+    predicates on those columns skip whole row groups at read time
+    (the file-level complement to directory-level partition pruning).
     """
 
     def __init__(
@@ -88,11 +94,13 @@ class ParquetSink:
         path: str,
         id_col: str = "id",
         partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.partition_by = list(partition_by or [])
+        self.cluster_by = list(cluster_by or [])
 
     # -- inspection -------------------------------------------------
     def exists(self) -> bool:
@@ -120,6 +128,9 @@ class ParquetSink:
         """Write to a staging dir then atomically replace the target —
         needed because the plan may read the same path it replaces."""
         staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
+        if self.cluster_by:
+            cols = [F.col(c) for c in self.cluster_by]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

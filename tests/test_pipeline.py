@@ -241,3 +241,20 @@ def test_partitioned_fast_append_only_touches_partitions(spark, tmp_path):
     assert after.count() == len(before) + 1
     new = after.filter(F.col("n_nationkey") == 99).first()
     assert new["id"] == max(before) + 1 and new["n_regionkey"] == 2
+
+
+def test_clustered_sink_sorts_within_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+
+    sink = ParquetSink(spark, str(tmp_path / "t"), cluster_by=["o_totalprice"])
+    orders = spark.sql("SELECT o_orderkey, o_totalprice FROM orders").repartition(8)
+    sink.append(orders)
+    files = glob.glob(f"{sink.path}/*.parquet")
+    assert files
+    # rows inside every file are sorted -> row-group min/max are selective
+    for f in files:
+        vals = pq.read_table(f, columns=["o_totalprice"])["o_totalprice"].to_pylist()
+        assert vals == sorted(vals), f
+    # and the global dataset is intact
+    assert sink.read().count() == orders.count()
