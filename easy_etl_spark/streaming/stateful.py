@@ -52,3 +52,49 @@ def user_profile_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def user_profile_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Modern twin of ``user_profile_stream`` on the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor + typed
+    ValueState): same per-user running profile, but with the
+    composable state-variable model (value/list/map states, timers)
+    that new operators should target — applyInPandasWithState is the
+    legacy single-tuple-state form.
+
+    Runtime requirement: the TWS state protocol speaks protobuf
+    (google.protobuf must be importable on driver and workers);
+    without it, use ``user_profile_stream`` — identical semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("profile", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._st.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Profile(),
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

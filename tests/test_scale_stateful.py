@@ -96,3 +96,38 @@ def test_sketch_distinct_bounded_error(spark, sf_dir):
     for et, n in exact.items():
         assert abs(got[et]["approx_users"] - n) <= max(1, 0.05 * n), (et, got[et]["approx_users"], n)
         assert abs(got[et]["hll_users"] - n) <= max(1, 0.05 * n), (et, got[et]["hll_users"], n)
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas per-user profile == batch groupBy.
+
+    The TWS state protocol needs protobuf at runtime; environments
+    without it (like this container) fall back to the
+    applyInPandasWithState operator covered above."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from easy_etl_spark.session import load_table, table_path
+    from easy_etl_spark.streaming import jobs
+    from easy_etl_spark.streaming.stateful import user_profile_tws
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), d / "part-000.parquet")
+    stream = jobs.read_events_stream(spark, str(d))
+    out = user_profile_tws(stream)
+    jobs.run_to_memory(out, "t_tws_profile")
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.table("t_tws_profile").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == batch and got
