@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 
 def resolve_sql(sql: str) -> str:
     """``*.sql`` path → file contents; anything else verbatim
-    (easy_etl/__init__.py:19-21)."""
-    if sql.endswith(".sql") and os.path.exists(sql):
+    (easy_etl/__init__.py:19-21). A missing ``.sql`` file raises, as
+    the reference's ``open()`` would — silently executing the *path*
+    as SQL would mask the typo."""
+    if sql.endswith(".sql"):
         with open(sql) as fh:
             return fh.read()
     return sql

@@ -258,3 +258,10 @@ def test_clustered_sink_sorts_within_files(spark, tmp_path):
         assert vals == sorted(vals), f
     # and the global dataset is intact
     assert sink.read().count() == orders.count()
+
+
+def test_missing_sql_file_raises(spark):
+    # reference parity: open() on a missing .sql path fails loudly
+    # (easy_etl/__init__.py:19-21) instead of running the path as SQL
+    with pytest.raises(FileNotFoundError):
+        EtlPipeline(spark).extract("/nonexistent/query.sql").dataframe()
