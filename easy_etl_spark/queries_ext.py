@@ -473,3 +473,20 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import curate_corpus as _curate
 
     return _curate(_docs(spark, sf_dir), quality_threshold=0.5, jaccard_threshold=0.8)
+
+
+@register(
+    "events_interval_join_left",
+    """
+    SELECT a.user_id AS user_id, a.event_id AS left_id, b.event_id AS right_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def events_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join: every click, with its purchase within
+    30 minutes or NULL — the conversion-funnel shape."""
+    return windows.interval_pairs(_events(spark, sf_dir), "click", "purchase", 30, how="left")

@@ -104,12 +104,15 @@ def interval_pairs(
     left_type: str = "click",
     right_type: str = "purchase",
     minutes: int = 30,
+    how: str = "inner",
 ) -> DataFrame:
     """Batch twin of the stream-stream interval join: (left, right)
     event pairs per user where the right event lands in
     [left.ts, left.ts + minutes). The join is an equi-join on user_id
     with a range residual — Catalyst shuffles on user_id only, so
-    parallelism tracks the user dimension, not the interval."""
+    parallelism tracks the user dimension, not the interval.
+    ``how="left"`` keeps unmatched left events with NULL right ids (the
+    conversion-funnel shape: every click, purchased or not)."""
     a = events.filter(F.col("event_type") == left_type).select(
         "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("__lts")
     )
@@ -122,6 +125,7 @@ def interval_pairs(
             (F.col("user_id") == F.col("__uid"))
             & (F.col("__rts") >= F.col("__lts"))
             & (F.col("__rts") < F.col("__lts") + F.expr(f"INTERVAL {minutes} MINUTES")),
+            how,
         )
         .select(
             "user_id",
