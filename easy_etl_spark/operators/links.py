@@ -89,6 +89,7 @@ def asof_link(
     method: str = ">=",
     id_col: str = "id",
     strategy: str = "broadcast",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Directional as-of link (see module docstring).
 
@@ -96,17 +97,24 @@ def asof_link(
     ``"<="`` → largest ``dim.child <= fact.field``; strict variants
     exclude equality. No match ⇒ NULL, matching the reference's
     ``next`` → ``None`` path (easy_etl/__init__.py:130-135).
+
+    ``tolerance`` (numeric, in the child column's units) bounds the
+    directional gap like pandas ``merge_asof(tolerance=...)``: a
+    winner farther than ``tolerance`` from the fact value becomes a
+    NULL non-match. Applied to the winner only — equivalent to
+    filtering candidates, since the winner is the nearest candidate
+    in the scan direction.
     """
     if method not in _ASOF_OPS:
         raise ValueError(f"method must be one of {_ASOF_OPS}")
     if id_col not in dim.columns:
         dim = with_surrogate_id(dim, child_field, id_col)
     if strategy == "merge":
-        return _asof_merge(fact, dim, field, child_field, name, method, id_col)
-    return _asof_broadcast(fact, dim, field, child_field, name, method, id_col)
+        return _asof_merge(fact, dim, field, child_field, name, method, id_col, tolerance=tolerance)
+    return _asof_broadcast(fact, dim, field, child_field, name, method, id_col, tolerance)
 
 
-def _asof_broadcast(fact, dim, field, child_field, name, method, id_col):
+def _asof_broadcast(fact, dim, field, child_field, name, method, id_col, tolerance=None):
     out = name or field
     vals = fact.select(F.col(field).alias("__v")).distinct()
     d = dim.select(F.col(child_field).alias("__c"), F.col(id_col).alias("__id"))
@@ -126,6 +134,10 @@ def _asof_broadcast(fact, dim, field, child_field, name, method, id_col):
     )
     # winning child -> id (first-match on dup children: min id)
     ids = d.groupBy("__c").agg(F.min("__id").alias("__id"))
+    if tolerance is not None:
+        best = best.withColumn(
+            "__bc", F.when(F.abs(F.col("__bc") - F.col("__v")) <= tolerance, F.col("__bc"))
+        )
     mapping = best.join(F.broadcast(ids), F.col("__bc") == F.col("__c"), "left").select(
         "__v", F.col("__id").alias("__lid")
     )
@@ -143,7 +155,7 @@ def _band_expr(value: Column, cuts: list) -> Column:
     return F.size(F.filter(arr, lambda c: c <= value))
 
 
-def _asof_merge(fact, dim, field, child_field, name, method, id_col, bands: int = 64):
+def _asof_merge(fact, dim, field, child_field, name, method, id_col, bands: int = 64, tolerance=None):
     """Merge-asof for large dims: quantile-banded window + driver-side
     band carry. No cartesian blowup, no single-partition window.
 
@@ -204,6 +216,8 @@ def _asof_merge(fact, dim, field, child_field, name, method, id_col, bands: int 
     )
     carried = banded.withColumn(
         "__lid", F.last(F.when(F.col("__is_dim") == 1, F.col("__id")), ignorenulls=True).over(w)
+    ).withColumn(
+        "__lv", F.last(F.when(F.col("__is_dim") == 1, F.col("__v")), ignorenulls=True).over(w)
     )
 
     if cuts:
@@ -216,28 +230,33 @@ def _asof_merge(fact, dim, field, child_field, name, method, id_col, bands: int 
         winners = (
             dim_banded.withColumn("__rn", F.row_number().over(wd))
             .filter(F.col("__rn") == 1)
-            .select("__band", "__id")
+            .select("__band", "__id", "__v")
             .collect()
         )
-        terminal = {r["__band"]: r["__id"] for r in winners}
+        terminal = {r["__band"]: (r["__id"], r["__v"]) for r in winners}
         # prefix-fill in scan order: carry_in[b] = terminal id of the
         # nearest earlier band that has one.
         scan = sorted(set(terminal) | set(range(len(cuts) + 1)))
         if not asc:
             scan = list(reversed(scan))
-        carry_in: dict[int, int] = {}
+        carry_in: dict[int, tuple] = {}
         prev = None
         for b in scan:
             carry_in[b] = prev
             if b in terminal:
                 prev = terminal[b]
-        entries = [x for b, c in carry_in.items() if c is not None for x in (F.lit(b), F.lit(c))]
-        if entries:
-            carry_map = F.create_map(*entries)
+        id_entries = [x for b, c in carry_in.items() if c is not None for x in (F.lit(b), F.lit(c[0]))]
+        val_entries = [x for b, c in carry_in.items() if c is not None for x in (F.lit(b), F.lit(c[1]))]
+        if id_entries:
+            id_map, val_map = F.create_map(*id_entries), F.create_map(*val_entries)
             carried = carried.withColumn(
-                "__lid", F.coalesce(F.col("__lid"), carry_map[F.col("__band")])
-            )
+                "__lid", F.coalesce(F.col("__lid"), id_map[F.col("__band")])
+            ).withColumn("__lv", F.coalesce(F.col("__lv"), val_map[F.col("__band")]))
 
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "__lid", F.when(F.abs(F.col("__lv") - F.col("__v")) <= tolerance, F.col("__lid"))
+        )
     mapping = carried.filter(F.col("__is_dim") == 0).select("__v", "__lid")
     joined = fact.join(mapping, fact[field] == F.col("__v"), "left")
     if out == field:

@@ -95,3 +95,29 @@ def test_link_closest_duplicate_children_first_match(spark):
     for strategy in ("broadcast", "merge"):
         out = {r["f"]: r["cid"] for r in asof_link(fact, dim, "f", "child", name="cid", method=">=", strategy=strategy).collect()}
         assert out == {1: 1, 4: 3}, strategy
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "merge"])
+def test_link_closest_tolerance(spark, dim, fact, strategy):
+    # '>=' winners: 2→3 (gap 1), 3→3 (gap 0), 4→4 (gap 0), 6→None;
+    # tolerance 0 nulls the gap-1 match, keeps exact hits
+    out = {r["f"]: r["cid"] for r in asof_link(
+        fact, dim, "f", "child", name="cid", method=">=", strategy=strategy, tolerance=0
+    ).collect()}
+    assert out == {2: None, 3: 1, 4: 2, 6: None}
+    out1 = {r["f"]: r["cid"] for r in asof_link(
+        fact, dim, "f", "child", name="cid", method=">=", strategy=strategy, tolerance=1
+    ).collect()}
+    assert out1 == {2: 1, 3: 1, 4: 2, 6: None}
+
+
+@pytest.mark.parametrize("method", [">=", "<="])
+def test_link_closest_tolerance_multiband_matches_broadcast(spark, method):
+    import random
+
+    rng = random.Random(11)
+    dim = spark.createDataFrame([(rng.randrange(0, 2000), i + 1) for i in range(600)], "child long, id long")
+    fact = spark.createDataFrame([(rng.randrange(-20, 2020),) for _ in range(300)], "f long")
+    b = {r["f"]: r["cid"] for r in asof_link(fact, dim, "f", "child", name="cid", method=method, strategy="broadcast", tolerance=3).collect()}
+    m = {r["f"]: r["cid"] for r in asof_link(fact, dim, "f", "child", name="cid", method=method, strategy="merge", tolerance=3).collect()}
+    assert m == b
