@@ -115,3 +115,44 @@ def test_dense_ids_always_dense_from_offset(spark, n, parts, offset):
     out = dense_ids(df, "id2", offset)
     ids = sorted(r["id2"] for r in out.collect())
     assert ids == list(range(offset + 1, offset + n + 1))
+
+
+@given(
+    n_users=st.integers(1, 5),
+    n_events=st.integers(1, 40),
+    minutes=st.integers(1, 60),
+)
+@settings(**_SETTINGS)
+def test_interval_pairs_matches_naive_python(spark, n_users, n_events, minutes):
+    import datetime as dt
+    import random
+
+    from easy_etl_spark.streaming.windows import interval_pairs
+
+    rng = random.Random(n_users * 1000 + n_events)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=rng.randrange(0, 7200)),
+            rng.randrange(n_users),
+            rng.choice(["click", "purchase", "view"]),
+        )
+        for i in range(n_events)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["user_id"], r["left_id"], r["right_id"], r["gap_us"])
+        for r in interval_pairs(events, "click", "purchase", minutes).collect()
+    }
+    lim = dt.timedelta(minutes=minutes)
+    expect = {
+        (u, li, ri, int((rts - lts).total_seconds() * 1_000_000))
+        for (li, lts, u, lt) in rows
+        if lt == "click"
+        for (ri, rts, u2, rt) in rows
+        if rt == "purchase" and u2 == u and lts <= rts < lts + lim
+    }
+    assert got == expect
