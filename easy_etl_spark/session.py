@@ -70,6 +70,10 @@ def get_spark(app_name: str = "easy-etl-spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-batch plain Python UDFs too (Spark 4): the whitelist
+        # keeps hot paths JVM-side, but the `func`/fallback surface
+        # shouldn't pay pickle-per-row when a user does reach for it
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata is written with nanosecond parquet timestamps,
         # which Spark refuses by default; read as long then convert in
