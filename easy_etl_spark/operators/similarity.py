@@ -93,46 +93,42 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int = 100_000,
 ) -> "list[list[float]]":
-    """Deterministic Lloyd iterations, DataFrame-native: assignment is
-    a vectorized numpy pass per partition (centroids broadcast), the
-    centroid update is a groupBy-avg over exploded dimensions. Init =
-    the n_lists lowest-id vectors (reproducible, no RNG). Only the
-    n_lists × dim centroid table ever reaches the driver."""
+    """Deterministic Lloyd k-means trained on a bounded sample, the
+    standard IVF training recipe: collect ≤ sample_size vectors
+    (systematic hash-sample, reproducible — no RNG), run Lloyd locally
+    in numpy, return the n_lists × dim centroid table. One Spark job
+    regardless of iters — the full corpus is only ever touched by the
+    distributed *assignment* pass in ivf_neighbors. Centroid quality
+    needs sample representativeness, not the full corpus: 100k
+    vectors bound the centroid error at any corpus scale."""
     import numpy as np
 
-    seeds = emb.orderBy(id_col).limit(n_lists).select(vec_col).collect()
-    centroids = np.array([r[0] for r in seeds], dtype="float64")
-    v = emb.select(
-        F.col(id_col).alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).persist()  # read once; every Lloyd iteration re-scans this frame
-    spark = emb.sparkSession
-    for _ in range(iters):
-        b_c = spark.sparkContext.broadcast(centroids)
-
-        def assign(batches):
-            import pandas as pd
-
-            c = b_c.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                m = np.stack(pdf["__v"].to_numpy())
-                # nearest centroid by euclidean distance
-                d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                yield pd.DataFrame({"__id": pdf["__id"], "__v": pdf["__v"], "list_id": d.argmin(axis=1)})
-
-        assigned = v.mapInPandas(assign, "__id bigint, __v array<double>, list_id int")
-        upd = (
-            assigned.select("list_id", F.posexplode("__v").alias("dim", "val"))
-            .groupBy("list_id", "dim")
-            .agg(F.avg("val").alias("m"))
-            .collect()
+    n = emb.count()
+    frac_filter = None
+    if n > sample_size:
+        # deterministic 1-in-k systematic sample on the id hash
+        k = (n + sample_size - 1) // sample_size
+        frac_filter = F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)) == 0
+    base = emb.filter(frac_filter) if frac_filter is not None else emb
+    rows = (
+        base.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         )
-        for r in upd:
-            centroids[r["list_id"], r["dim"]] = r["m"]
-    v.unpersist()
+        .orderBy("__id")  # stable collect order → deterministic seeds
+        .collect()
+    )
+    mat = np.array([r["__v"] for r in rows], dtype="float64")
+    centroids = mat[:n_lists].copy()  # lowest-id seeds, reproducible
+    for _ in range(iters):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
     return centroids.tolist()
 
 
