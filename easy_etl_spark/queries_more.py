@@ -393,3 +393,28 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("sketch_quantiles_theta")  # rows-only: sketch estimates
+def sketch_quantiles_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quantiles + distinct counts (DataSketches KLL /
+    theta): the one-pass, partial-aggregable versions of
+    percentile/countDistinct. At 100 TB these are the only viable
+    forms — sketches merge across partitions, days, and tables without
+    re-scanning raw data (unlike exact percentile, which must shuffle
+    every value). Error bounds vs exact are pinned in
+    tests/test_scale_stateful.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "kll_sketch_get_quantile_double(kll_sketch_agg_double(l_extendedprice), 0.5)"
+            ).alias("p50_est"),
+            F.expr(
+                "kll_sketch_get_quantile_double(kll_sketch_agg_double(l_extendedprice), 0.95)"
+            ).alias("p95_est"),
+            F.expr("theta_sketch_estimate(theta_sketch_agg(l_orderkey))").alias("orders_est"),
+        )
+        .orderBy("l_returnflag")
+    )

