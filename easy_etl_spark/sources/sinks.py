@@ -165,9 +165,11 @@ class ParquetSink:
             and ensure is not False
             and dict(incoming.dtypes) == dict(current.dtypes)  # names AND types
         ):
-            incoming.select(*current.columns).write.mode("append").partitionBy(
-                *self.partition_by
-            ).parquet(self.path)
+            out = incoming.select(*current.columns)
+            if self.cluster_by:
+                cols = [F.col(c) for c in self.cluster_by]
+                out = out.repartitionByRange(*cols).sortWithinPartitions(*cols)
+            out.write.mode("append").partitionBy(*self.partition_by).parquet(self.path)
             return
 
         keep_current = current

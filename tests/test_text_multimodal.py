@@ -80,7 +80,7 @@ def test_bpe_ish_token_count_splits_punctuation(spark):
 
 
 def test_udtf_chunk_tokens_windows(spark):
-    from easy_etl_spark.functions.udtfs import ChunkTokens, register_udtfs
+    from easy_etl_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
     spark.createDataFrame(
