@@ -86,3 +86,66 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir, events_dir):
         ).collect()
     }
     assert got == batch and got
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data contract: an event arriving in a later micro-batch,
+    with its window closed before the checkpointed watermark, is
+    dropped from the aggregation; a late-but-open event still updates.
+    Two availableNow runs over one checkpoint make batch order (and
+    the watermark carried between runs) deterministic."""
+    import datetime as dt
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        import glob as g
+        import shutil as sh
+
+        src = g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        sh.copy(src, d / f"{name}.parquet")
+
+    def run_once(qname):
+        stream = spark.readStream.schema(schema).format("parquet").load(str(d))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "60 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w"), "n")
+        )
+        emitted = {}
+
+        def sink(bdf, bid):
+            for r in bdf.collect():
+                emitted[r["w"]] = r["n"]
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    # run 1: events at 12:00 and 16:00 -> watermark checkpointed at 15:00
+    write_file("b1", [(1, base, 7, "click", 1.0, "{}"),
+                      (2, base + dt.timedelta(hours=4), 7, "click", 1.0, "{}")])
+    first = run_once("t_late1")
+    assert first == {"2024-01-01 12:00:00": 1, "2024-01-01 16:00:00": 1}
+
+    # run 2 (same checkpoint): 12:30 is behind the 15:00 watermark ->
+    # dropped (its window emits no update); 15:30 is open -> counted
+    write_file("b2", [(3, base + dt.timedelta(minutes=30), 7, "click", 1.0, "{}"),
+                      (4, base + dt.timedelta(minutes=210), 7, "click", 1.0, "{}")])
+    second = run_once("t_late2")
+    assert "2024-01-01 12:00:00" not in second   # late event dropped
+    assert second.get("2024-01-01 15:00:00") == 1
