@@ -119,3 +119,42 @@ def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(run, "doc_id bigint, offset int, sample_byte int")
+
+
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """Codec stub — real deployments plug Pillow's resize here."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def fake_resize(data: bytes, factor: int = 4) -> bytes:
+    """Deterministic stand-in for resize: keep every factor-th byte —
+    same contract shape (binary in → smaller binary out)."""
+    return bytes(data[::factor])
+
+
+def resize(media_df: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize template over mapInPandas: binary in → binary out with
+    updated metadata, per-partition, no shuffle. Swap fake_resize for
+    resize_image when codecs exist; nothing else changes."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+    shrink = fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["media"].map(lambda b: shrink(bytes(b), factor))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "n_bytes": blobs.map(len),
+                }
+            )
+
+    return media_df.mapInPandas(run, "doc_id bigint, media binary, n_bytes int")

@@ -315,22 +315,32 @@ def q21_exclusive_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     The EXISTS / NOT EXISTS pair collapses into one per-order aggregate
     (distinct suppliers, distinct returning suppliers) — one shuffle
     instead of two correlated self-joins."""
+    from pyspark.sql import Window
+
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    # two ordinary aggregates instead of two DISTINCT aggregates: the
-    # (orderkey, suppkey) pre-aggregation replaces Catalyst's Expand
-    # (which would double the shuffled rows) with a plain count
-    per_supp = (
-        l.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("__has_r"))
+    # one shuffle instead of aggregate+join-back: per-order distinct
+    # supplier sets via collect_set window (no Expand, no re-join of
+    # lineitem against its own aggregate)
+    w = Window.partitionBy("l_orderkey")
+    l2 = (
+        l.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .withColumn("__n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "__r_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
     )
-    stats = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("__n_supp"), F.sum("__has_r").alias("__r_supp")
-    )
-    l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     return (
-        l1.join(stats, "l_orderkey")
-        .filter((F.col("__n_supp") >= 2) & (F.col("__r_supp") == 1))
+        l2.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("__n_supp") >= 2)
+            & (F.col("__r_supp") == 1)
+        )
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -156,3 +156,22 @@ def test_interval_pairs_matches_naive_python(spark, n_users, n_events, minutes):
         if rt == "purchase" and u2 == u and lts <= rts < lts + lim
     }
     assert got == expect
+
+
+@given(
+    vals=st.lists(_texts, min_size=1, max_size=15),
+    old=st.text(alphabet="ab ", min_size=1, max_size=2),
+    new=st.text(alphabet="xy", max_size=2),
+    width=st.integers(0, 25),
+)
+@settings(**_SETTINGS)
+def test_replace_and_zfill_match_python(spark, vals, old, new, width):
+    # str.replace is literal and global; str.zfill never truncates and
+    # pads after a leading sign (easy_etl transform contract: the
+    # value's own method semantics)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v string")
+    out = apply_transform(df, "v", "replace", (old, new), {})
+    out = apply_transform(out, "v", "zfill", (width,), {})
+    got = {r["i"]: r["v"] for r in out.collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == v.replace(old, new).zfill(width), (v, old, new, width)

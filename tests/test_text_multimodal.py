@@ -93,3 +93,12 @@ def test_udtf_chunk_tokens_windows(spark):
         (0, "a b c d e f g h", 8),
         (1, "i j", 2),
     ]
+
+
+def test_resize_template_shrinks_blobs(spark):
+    docs = spark.createDataFrame([(1, "abcdefgh" * 8)], "doc_id long, text string")
+    media = multimodal.with_binary_payload(docs)
+    out = multimodal.resize(media, factor=4).first()
+    assert out["n_bytes"] == 16 and bytes(out["media"]) == b"aeaeaeaeaeaeaeae"
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\x89PNG", 32, 32)
