@@ -105,10 +105,20 @@ def ngram_jaccard_pairs(
     )
 
 
-def _signatures_from_index(idx: DataFrame, num_perm: int, id_col: str) -> DataFrame:
+def _signatures_from_index(
+    idx: DataFrame, num_perm: int, id_col: str, with_sizes: bool = False
+) -> DataFrame:
     aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    if with_sizes:
+        # idx rows are distinct (doc, shingle) pairs, so this count IS
+        # the shingle-set size — folding it here saves the verifier a
+        # whole extra groupBy pass over the index
+        aggs.append(F.count(F.lit(1)).alias("__n"))
     wide = idx.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
-    return wide.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+    keep = [id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")]
+    if with_sizes:
+        keep.append(F.col("__n"))
+    return wide.select(*keep)
 
 
 def minhash_signatures(
@@ -146,7 +156,7 @@ def minhash_lsh_pairs(
     a vanishing fraction of the corpus at any scale)."""
     rows_per_band = num_perm // bands
     idx = _shingle_index(docs, text_col, id_col, k).persist()
-    sigs = _signatures_from_index(idx, num_perm, id_col)
+    sigs = _signatures_from_index(idx, num_perm, id_col, with_sizes=True).persist()
     # band hash = xxhash64 of the band's signature slice (arrays hash
     # as a whole); one explode to (id, band, bh) bucket rows
     band_cols = F.transform(
@@ -167,8 +177,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact shingle Jaccard, computed only for
-    # candidate pairs: |A∩B| via a pair-restricted index join.
-    sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    # candidate pairs: |A∩B| via a pair-restricted index join. Sizes
+    # ride along on the (already materialized) signature frame.
+    sizes = sigs.select(F.col(id_col).alias("__id"), "__n")
     ia = idx.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     ib = idx.select(F.col("__id").alias("__idb"), F.col("__sh").alias("__shb"))
     inter = (
