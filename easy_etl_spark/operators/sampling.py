@@ -1,0 +1,74 @@
+"""Stratified / deterministic sampling for corpus mixing.
+
+Training-data pipelines re-weight heterogeneous sources (web crawl vs
+books vs code) into a target mixture. Two paths:
+
+- ``stratified_sample``: deterministic keep/drop via a multiplicative
+  (Knuth/Fibonacci) hash bucket of a stable id — reproducible across
+  runs, engines, and partitionings, because it is pure integer
+  arithmetic (``id * 2654435761 mod 2^32 mod 100``) rather than an
+  engine-specific hash. This is the oracle-checkable and
+  restart-stable path: re-running the pipeline after adding data keeps
+  every previously-kept row kept.
+- ``sample_by_rates``: Spark's native ``DataFrame.sampleBy`` (seeded
+  Bernoulli per stratum) for when statistical rather than
+  deterministic sampling is wanted.
+
+Both are per-row maps with no shuffle — the plan is a scan + filter
+and scales linearly to 100 TB; the only aggregation is whatever the
+caller does afterwards.
+
+Beyond the reference's surface (exit99/easy-etl has no sampling); part
+of the BASELINE.json north-star extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative constant (2^32 / phi); bucket space 0..99.
+KNUTH = 2654435761
+BUCKETS = 100
+
+
+def knuth_bucket(id_col: Column) -> Column:
+    """Deterministic bucket in [0, 100) from a stable integer id.
+
+    ``(id * 2654435761) % 2^32 % 100`` — stays in int64 for ids up to
+    ~2^31, which holds for any per-source sequence id; for larger ids
+    pre-fold with ``id % 2^31``.
+    """
+    return (id_col.cast("long") * KNUTH) % (2**32) % BUCKETS
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int] | Column,
+    *,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+) -> DataFrame:
+    """Keep rows whose hash bucket falls under the stratum's rate
+    (percent, 0-100). ``rates`` is a dict stratum->percent, or a
+    Column computing the percent per row (for rule-based mixtures).
+    """
+    if isinstance(rates, dict):
+        rate = F.lit(default_rate)
+        for k, v in rates.items():
+            rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    else:
+        rate = rates
+    return df.filter(knuth_bucket(F.col(id_col)) < rate)
+
+
+def sample_by_rates(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    stratum_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """Statistical stratified sampling (Spark-native Bernoulli)."""
+    return df.sampleBy(stratum_col, fractions=fractions, seed=seed)

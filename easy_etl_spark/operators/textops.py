@@ -97,6 +97,57 @@ def rolling_min_hash(text: Column, shingle_k: int = 3) -> Column:
     return F.array_min(shingles)
 
 
+#: PII patterns (portable subset: identical semantics under Java regex
+#: (Spark) and RE2 (DuckDB) — no backrefs, no lookarounds).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "phone": r"\b\d{3}-\d{4}\b",
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4s, and phone-shaped tokens with typed
+    placeholders. Order matters: emails first (their domain would
+    otherwise survive as an IP-ish token), then IPs, then phones.
+    Pure `regexp_replace` — JVM-side, codegen, no shuffle: the same
+    single-pass map applies unchanged at 100 TB."""
+    out = text
+    for kind in ("email", "ip", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Match count per PII class (regexp_extract_all idx=0 — portable
+    to DuckDB's len(regexp_extract_all(...)))."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0))
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent token pairs. Guarded: Spark's sequence(1, 0) would
+    produce a DESCENDING [1,0] (step inferred as -1), so single-token
+    docs must short-circuit to an empty array."""
+    t = tokens(text)
+    pair = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    return F.when(F.size(t) >= 2, pair).otherwise(F.array().cast("array<string>"))
+
+
+def dup_bigram_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal, simplified: the fraction of
+    bigram occurrences that are repeats of an earlier bigram
+    (1 - distinct/total). 0 for degenerate docs with <2 tokens."""
+    bg = bigrams(text)
+    n = F.size(bg)
+    return F.when(
+        n > 0,
+        1.0 - F.size(F.array_distinct(bg)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document feature frame: one narrow projection, no shuffle."""
     text = F.col(text_col)

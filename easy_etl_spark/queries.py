@@ -545,3 +545,4 @@ def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_ext  # noqa: E402,F401
 from . import queries_more  # noqa: E402,F401
 from . import queries_wave3  # noqa: E402,F401
+from . import queries_wave4  # noqa: E402,F401

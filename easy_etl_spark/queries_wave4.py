@@ -1,0 +1,136 @@
+"""Fourth wave: training-data curation extensions — PII redaction,
+repetition-based quality signal, deterministic stratified source
+mixing. All three are per-row maps + one small aggregate: scan-shaped
+plans (no joins, single shuffle at most) that hold unchanged at 100 TB.
+
+Beyond the reference's surface (exit99/easy-etl has no text or
+sampling ops); part of the BASELINE.json north-star extension set.
+The corpus has no real PII, so the PII query synthesizes
+deterministic PII spans from ``doc_id`` inline — the redaction is
+therefore doing real work and the oracle checks exact semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.sampling import knuth_bucket
+from .operators.textops import bigrams, dup_bigram_fraction, pii_count, redact_pii
+from .queries import register
+from .session import load_table
+
+
+@register(
+    "pii_redaction",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             concat(text, ' contact user', doc_id, '@example.com from 10.',
+                    doc_id % 256, '.3.', doc_id % 100, ' call 555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+               '\b\d{3}-\d{4}\b', '[PHONE]', 'g')) AS red_md5
+    FROM seeded
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: typed placeholder redaction (emails →
+    IPs → phones, order-significant) plus per-class match counts.
+    Single narrow projection, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com from 10."),
+            (d % 256).cast("string"),
+            F.lit(".3."),
+            (d % 100).cast("string"),
+            F.lit(" call 555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    t = F.col("t")
+    return seeded.select(
+        "doc_id",
+        pii_count(t, "email").cast("long").alias("n_email"),
+        pii_count(t, "ip").cast("long").alias("n_ip"),
+        pii_count(t, "phone").cast("long").alias("n_phone"),
+        F.md5(redact_pii(t)).alias("red_md5"),
+    )
+
+
+@register(
+    "text_repetition",
+    """
+    WITH bg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(b) AS BIGINT) AS n_bigrams,
+           round(CASE WHEN len(b) > 0
+                      THEN 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b)
+                      ELSE 0.0 END, 4) AS rep_fraction
+    FROM bg
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: per-doc fraction of
+    bigram occurrences that repeat an earlier bigram. Higher-order
+    array functions only — JVM-side, per-row, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(bigrams(t)).cast("long").alias("n_bigrams"),
+        F.round(dup_bigram_fraction(t), 4).alias("rep_fraction"),
+    )
+
+
+@register(
+    "stratified_source_mix",
+    """
+    WITH b AS (
+      SELECT source, doc_id,
+             (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 30 ELSE 10 END AS rate
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN bucket < rate THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM b GROUP BY source
+    """,
+)
+def stratified_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source re-weighting audit: per-source total vs
+    kept under a Knuth-hash bucket rule (even-numbered sources 30%,
+    odd 10%). One scan + one small aggregate; the keep decision is
+    pure integer arithmetic, so it is reproducible across engines,
+    runs, and partitionings (see operators/sampling.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = knuth_bucket(F.col("doc_id"))
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(30)
+    ).otherwise(F.lit(10))
+    kept = (bucket < rate).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(kept).alias("kept"),
+        F.sum(kept * F.col("doc_id")).alias("kept_id_sum"),
+    )

@@ -1,0 +1,94 @@
+"""Wave-4 operators: PII redaction, repetition signal, stratified
+deterministic sampling (operators/textops.py, operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from easy_etl_spark.operators.sampling import (
+    BUCKETS,
+    KNUTH,
+    knuth_bucket,
+    sample_by_rates,
+    stratified_sample,
+)
+from easy_etl_spark.operators.textops import (
+    dup_bigram_fraction,
+    pii_count,
+    redact_pii,
+)
+
+
+def test_redact_pii_all_classes(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@sub.example.co.uk now", "mail [EMAIL] now"),
+            ("from 192.168.0.1 and 10.0.3.77", "from [IP] and [IP]"),
+            ("call 555-0042 today", "call [PHONE] today"),
+            ("a@b.io at 1.2.3.4 tel 555-9999", "[EMAIL] at [IP] tel [PHONE]"),
+            ("no pii here", "no pii here"),
+        ],
+        ["t", "expected"],
+    )
+    rows = df.select(redact_pii(F.col("t")).alias("red"), "expected").collect()
+    for r in rows:
+        assert r.red == r.expected
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [("a@b.io c@d.net at 1.2.3.4 tel 555-9999",)], ["t"]
+    )
+    row = df.select(
+        pii_count(F.col("t"), "email").alias("e"),
+        pii_count(F.col("t"), "ip").alias("i"),
+        pii_count(F.col("t"), "phone").alias("p"),
+    ).first()
+    assert (row.e, row.i, row.p) == (2, 1, 1)
+
+
+def test_dup_bigram_fraction_handcomputed(spark):
+    df = spark.createDataFrame(
+        [
+            # bigrams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct
+            ("a b a b a b", 1.0 - 2.0 / 5.0),
+            ("all words are unique here", 0.0),
+            ("single", 0.0),  # <2 tokens: guarded, not sequence(1, 0)
+        ],
+        ["t", "expected"],
+    )
+    for r in df.select(dup_bigram_fraction(F.col("t")).alias("f"), "expected").collect():
+        assert abs(r.f - r.expected) < 1e-12
+
+
+def test_stratified_sample_matches_python_rule(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"src0": 100, "src1": 50, "src2": 0}
+    kept = stratified_sample(docs, rates, default_rate=25)
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    expect = {
+        r.doc_id
+        for r in docs.select("doc_id", "source").collect()
+        if (r.doc_id * KNUTH) % 2**32 % BUCKETS < rates.get(r.source, 25)
+    }
+    assert got == expect
+    # deterministic: identical on re-run
+    again = {r.doc_id for r in stratified_sample(docs, rates, default_rate=25).select("doc_id").collect()}
+    assert again == got
+
+
+def test_knuth_bucket_range(spark):
+    df = spark.range(0, 10_000).select(knuth_bucket(F.col("id")).alias("b"))
+    row = df.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
+    assert 0 <= row.lo and row.hi < BUCKETS
+    # buckets spread, not collapsed onto a few values
+    assert df.distinct().count() == BUCKETS
+
+
+def test_sample_by_rates_restricts_strata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_by_rates(docs, {"src0": 1.0, "src1": 0.5})
+    strata = {r.source for r in out.select("source").distinct().collect()}
+    assert strata <= {"src0", "src1"}
+    n_src0 = out.filter(F.col("source") == "src0").count()
+    assert n_src0 == docs.filter(F.col("source") == "src0").count()
