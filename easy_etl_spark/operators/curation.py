@@ -52,3 +52,39 @@ def curate_corpus(
     clusters = duplicate_clusters(pairs)
     clean = dedup_survivors(g2, clusters, id_col)
     return clean.select(id_col, "quality")
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any token
+    n-gram with an eval/benchmark corpus (the n-gram-overlap rule used
+    for LM training-set hygiene). Returns (id, n_shared_grams) for
+    contaminated docs only.
+
+    Scale shape: both sides explode to distinct per-doc n-grams
+    map-side; the benchmark gram set is tiny relative to training data
+    (eval suites are small), so it is BROADCAST — the exploded
+    training grams are never shuffled, only the rare matches are
+    (groupBy id after the broadcast inner join).
+    """
+    from .textops import token_ngrams
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            id_col,
+            F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
+        )
+
+    bench_grams = F.broadcast(grams(benchmark).select("gram").distinct())
+    return (
+        grams(train)
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -136,6 +136,20 @@ def bigrams(text: Column) -> Column:
     return F.when(F.size(t) >= 2, pair).otherwise(F.array().cast("array<string>"))
 
 
+def token_ngrams(text: Column, n: int) -> Column:
+    """Adjacent token n-grams as space-joined strings (portable to
+    DuckDB list_transform — no hashing, so oracle-checkable). Same
+    sequence(1, ...) descending-step guard as `bigrams`."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def dup_bigram_fraction(text: Column) -> Column:
     """Gopher-style repetition signal, simplified: the fraction of
     bigram occurrences that are repeats of an earlier bigram

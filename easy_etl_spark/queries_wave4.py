@@ -1,7 +1,10 @@
 """Fourth wave: training-data curation extensions — PII redaction,
 repetition-based quality signal, deterministic stratified source
-mixing. All three are per-row maps + one small aggregate: scan-shaped
-plans (no joins, single shuffle at most) that hold unchanged at 100 TB.
+mixing, benchmark decontamination, and sequence packing. The first
+three are per-row maps + one small aggregate (scan-shaped plans, no
+joins); decontamination's only join is against a broadcast benchmark
+gram set, and packing's prefix sum is the partition-offset scheme —
+nothing here has a single-partition stage, so the plans hold at 100 TB.
 
 Beyond the reference's surface (exit99/easy-etl has no text or
 sampling ops); part of the BASELINE.json north-star extension set.
@@ -133,4 +136,73 @@ def stratified_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total"),
         F.sum(kept).alias("kept"),
         F.sum(kept * F.col("doc_id")).alias("kept_id_sum"),
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 50 != 0)
+    sharing any token n-gram with the held-out benchmark slice
+    (doc_id % 50 == 0). Production uses n=8..13; n=3 here so the
+    synthetic small-vocab corpus yields non-trivial overlap. The
+    benchmark gram set is broadcast — training grams never shuffle
+    (operators/curation.py:decontaminate)."""
+    from .operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=3)
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS n FROM documents
+    ),
+    ofs AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+               AS start_ofs
+      FROM toks
+    )
+    SELECT CAST(start_ofs // 512 AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS docs_started,
+           CAST(sum(n) AS BIGINT) AS tokens
+    FROM ofs GROUP BY 1
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing audit: docs are laid out on a
+    global token stream in doc_id order and each doc is assigned the
+    512-token training sequence its first token lands in; per-sequence
+    doc and token counts. The oracle's global window cumsum is
+    replaced by the partition-offset prefix sum in
+    operators/packing.py — no single-partition stage."""
+    from .operators.packing import pack_sequences
+    from .operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("n"))
+    packed = pack_sequences(toks, 512, n_col="n", order_col="doc_id")
+    return packed.groupBy(F.col("seq_id").cast("long").alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("docs_started"),
+        F.sum("n").alias("tokens"),
     )

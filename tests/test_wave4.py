@@ -92,3 +92,55 @@ def test_sample_by_rates_restricts_strata(spark, sf_dir):
     assert strata <= {"src0", "src1"}
     n_src0 = out.filter(F.col("source") == "src0").count()
     assert n_src0 == docs.filter(F.col("source") == "src0").count()
+
+
+def test_token_ngrams_and_short_docs(spark):
+    from easy_etl_spark.operators.textops import token_ngrams
+
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("a",)], ["t"])
+    rows = df.select(token_ngrams(F.col("t"), 3).alias("g")).collect()
+    assert rows[0].g == ["a b c", "b c d"]
+    assert rows[1].g == []
+    assert rows[2].g == []
+
+
+def test_decontaminate_handchecked(spark):
+    from easy_etl_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox"
+            (1, "x the quick brown fox y"),
+            (2, "totally different words here now"),
+            # shares "brown fox jumps"; repeated occurrence counted once
+            (3, "brown fox jumps and brown fox jumps"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_shared_grams for r in decontaminate(train, bench, n=3).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_global_running_offset_matches_naive(spark):
+    from easy_etl_spark.operators.packing import global_running_offset
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(97)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    out = global_running_offset(df, "n", "doc_id", num_partitions=7)
+    got = {r.doc_id: r.start_ofs for r in out.collect()}
+    acc = 0
+    for i, n in rows:
+        assert got[i] == acc
+        acc += n
+
+
+def test_pack_sequences_boundaries(spark):
+    from easy_etl_spark.operators.packing import pack_sequences
+
+    # token counts 60,60,60: offsets 0,60,120 -> seqs 0,0,1 at seq_len=100
+    df = spark.createDataFrame([(1, 60), (2, 60), (3, 60)], ["doc_id", "n"])
+    out = {r.doc_id: r.seq_id for r in pack_sequences(df, 100, n_col="n").collect()}
+    assert out == {1: 0, 2: 0, 3: 1}
