@@ -87,3 +87,39 @@ def test_q15_scalar_max_is_broadcast_not_sort(spark, sf_dir):
 def test_interval_join_shuffles_on_user_only(spark, sf_dir):
     f = _facts(spark, sf_dir, "events_interval_join")
     assert f.cartesian == 0, "interval join must stay an equi-join with range residual"
+
+
+def test_pii_redaction_prunes_scan_no_shuffle(spark, sf_dir):
+    f = _facts(spark, sf_dir, "pii_redaction")
+    assert f.scans_only_columns("doc_id", "text"), f.read_schemas
+    assert f.exchanges == 0, "per-row redaction must not shuffle"
+
+
+def test_text_repetition_prunes_scan_no_shuffle(spark, sf_dir):
+    f = _facts(spark, sf_dir, "text_repetition")
+    assert f.scans_only_columns("doc_id", "text"), f.read_schemas
+    assert f.exchanges == 0
+
+
+def test_decontaminate_gram_join_is_broadcast(spark, sf_dir):
+    # exploded training grams must never shuffle: the benchmark gram
+    # set is broadcast, so the only exchanges are the broadcast itself
+    # + the final (post-match, tiny) groupBy
+    f = _facts(spark, sf_dir, "decontaminate_overlap")
+    assert f.broadcast_joins >= 1
+    assert f.sort_merge_joins == 0, "gram join degraded to sort-merge"
+
+
+def test_sequence_packing_no_global_window(spark, sf_dir):
+    # the prefix sum must be partitioned by __pid — an empty
+    # PARTITION BY would serialize 100 TB through one task
+    f = _facts(spark, sf_dir, "sequence_packing")
+    assert "__pid" in f.text, "partition-offset window missing"
+    import re
+
+    assert not re.search(r"Window .*partitionBy=\[\]", f.text)
+    # Spark renders a global window as Window [...], [order] with no
+    # partition spec; assert every Window node mentions __pid
+    for line in f.text.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "__pid" in line, line
