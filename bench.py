@@ -45,6 +45,8 @@ HEADLINE = [
     "q21_exclusive_returns",
     "events_interval_join",
     "knn_ivf",
+    "decontaminate_overlap",
+    "sequence_packing",
 ]
 
 

@@ -73,17 +73,23 @@ def decontaminate(
     training grams are never shuffled, only the rare matches are
     (groupBy id after the broadcast inner join).
     """
-    from .textops import token_ngrams
+    from .scale import ensure_min_partitions
+    from .textops import array_ngrams, tokens
 
     def grams(df: DataFrame) -> DataFrame:
-        return df.select(
-            id_col,
-            F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
+        # pre-split into a real column: Catalyst won't CSE an inline
+        # split() inside the n-gram lambda (5x, see array_ngrams)
+        return (
+            df.withColumn("__t", tokens(F.col(text_col)))
+            .select(
+                id_col,
+                F.explode(F.array_distinct(array_ngrams(F.col("__t"), n))).alias("gram"),
+            )
         )
 
     bench_grams = F.broadcast(grams(benchmark).select("gram").distinct())
     return (
-        grams(train)
+        grams(ensure_min_partitions(train))
         .join(bench_grams, "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))

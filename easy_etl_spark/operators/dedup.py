@@ -32,15 +32,22 @@ from pyspark.sql import functions as F
 from .textops import fingerprint_md5, tokens
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles of a document."""
-    t = tokens(text)
+def array_shingles(t: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles over an ALREADY-SPLIT token array.
+    Hot paths must materialize the split as a real column first:
+    Catalyst does not CSE inside higher-order-function lambdas, so an
+    inline split() is re-evaluated per reference (measured 3-5x)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
         )
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a document (from raw text)."""
+    return array_shingles(tokens(text), k)
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -66,8 +73,13 @@ def _fan_out(docs: DataFrame, id_col: str) -> DataFrame:
 
 
 def _shingle_index(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return _fan_out(docs, id_col).select(
-        F.col(id_col).alias("__id"), F.explode(shingles(F.col(text_col), k)).alias("__sh")
+    return (
+        _fan_out(docs, id_col)
+        .withColumn("__t", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(array_shingles(F.col("__t"), k)).alias("__sh"),
+        )
     )
 
 

