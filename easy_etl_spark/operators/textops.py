@@ -42,25 +42,31 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+|(?=[.,!?;:])"))
 
 
-def stopword_ratio(text: Column) -> Column:
-    t = tokens(text)
+def stopword_ratio_arr(t: Column) -> Column:
+    """Over a pre-split token array (see `array_ngrams` on why hot
+    paths pre-split: no CSE inside HOF lambdas)."""
     stops = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
     return stops.cast("double") / F.size(t).cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_ratio_arr(tokens(text))
+
+
+def quality_score_arr(t: Column) -> Column:
+    n = F.size(t).cast("double")
+    stops = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double")
+    return F.round(F.least(n / 100.0, F.lit(1.0)) * (1.0 - stops / n), 4)
 
 
 def quality_score(text: Column) -> Column:
     """Deterministic [0,1] quality heuristic: length saturation ×
     (1 - stopword ratio). Mirrors the shape of production quality
     filters (length/punct/stopword mix) with reproducible arithmetic."""
-    t = tokens(text)
-    n = F.size(t).cast("double")
-    stops = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double")
-    return F.round(F.least(n / 100.0, F.lit(1.0)) * (1.0 - stops / n), 4)
+    return quality_score_arr(tokens(text))
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    t = tokens(text)
-
+def lang_scores_arr(t: Column) -> dict[str, Column]:
     def profile_count(words: tuple[str, ...]) -> Column:
         # single-arg lambda: pyspark passes (element, index) to 2-arg
         # lambdas, so the words must be bound via closure, not defaults
@@ -69,14 +75,22 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: profile_count(words) for lang, words in LANG_PROFILES.items()}
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax of profile scores with fixed priority tie-break."""
-    s = lang_scores(text)
+def lang_scores(text: Column) -> dict[str, Column]:
+    return lang_scores_arr(tokens(text))
+
+
+def lang_id_arr(t: Column) -> Column:
+    s = lang_scores_arr(t)
     return (
         F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]), F.lit("en"))
         .when(s["es"] >= s["de"], F.lit("es"))
         .otherwise(F.lit("de"))
     )
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of profile scores with fixed priority tie-break."""
+    return lang_id_arr(tokens(text))
 
 
 def fingerprint_md5(text: Column) -> Column:
@@ -176,14 +190,21 @@ def dup_bigram_fraction(text: Column) -> Column:
 
 
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document feature frame: one narrow projection, no shuffle."""
+    """Per-document feature frame: one narrow projection, no shuffle.
+    The split is materialized once and every feature reads the token
+    array — without this the five token-consuming features would each
+    re-split the text (no CSE across expressions)."""
     text = F.col(text_col)
-    return docs.select(
-        "doc_id",
-        token_count(text).alias("n_tokens"),
-        F.length(text).alias("n_chars_computed"),
-        F.round(stopword_ratio(text), 4).alias("stop_ratio"),
-        quality_score(text).alias("quality"),
-        lang_id(text).alias("lang_guess"),
-        fingerprint_md5(text).alias("fp_md5"),
+    t = F.col("__t")
+    return (
+        docs.withColumn("__t", tokens(text))
+        .select(
+            "doc_id",
+            F.size(t).alias("n_tokens"),
+            F.length(text).alias("n_chars_computed"),
+            F.round(stopword_ratio_arr(t), 4).alias("stop_ratio"),
+            quality_score_arr(t).alias("quality"),
+            lang_id_arr(t).alias("lang_guess"),
+            fingerprint_md5(text).alias("fp_md5"),
+        )
     )
