@@ -211,3 +211,33 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs_started"),
         F.sum("n").alias("tokens"),
     )
+
+
+def _w64_sql() -> str:
+    from .operators.inference import default_weights
+
+    return "[" + ", ".join(str(w) for w in default_weights(64)) + "]"
+
+
+@register(
+    "inference_batch_score",
+    f"""
+    SELECT vec_id,
+           round(1.0 / (1.0 + exp(-list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 {'[' + ', '.join(str(((j % 7) - 3) / 10.0) for j in range(64)) + ']'}))), 4) AS score
+    FROM embeddings
+    """,
+)
+def inference_batch_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched model inference: sigmoid(emb . w) via mapInPandas
+    with per-task model setup and broadcast parameters — the quality-
+    classifier/reward-scorer shape (operators/inference.py). The
+    linear model is deliberately trivial so DuckDB can replay it;
+    the Spark plumbing (iterator pattern, broadcast, vectorized
+    batches) is the real artifact."""
+    from .operators.inference import batch_score, default_weights
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = batch_score(emb, default_weights(64))
+    return scored.select("vec_id", F.round("score", 4).alias("score"))

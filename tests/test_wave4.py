@@ -144,3 +144,31 @@ def test_pack_sequences_boundaries(spark):
     df = spark.createDataFrame([(1, 60), (2, 60), (3, 60)], ["doc_id", "n"])
     out = {r.doc_id: r.seq_id for r in pack_sequences(df, 100, n_col="n").collect()}
     assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_batch_score_matches_python_sigmoid(spark, sf_dir):
+    import math
+
+    from easy_etl_spark.operators.inference import batch_score, default_weights
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    w = default_weights(64)
+    got = {r.vec_id: r.score for r in batch_score(emb, w, bias=0.25).collect()}
+    for row in emb.collect():
+        z = sum(float(x) * wj for x, wj in zip(row.embedding, w)) + 0.25
+        assert abs(got[row.vec_id] - 1.0 / (1.0 + math.exp(-z))) < 1e-9
+
+
+def test_batch_score_iterator_handles_many_batches(spark, sf_dir):
+    # force several small Arrow batches through one task: the per-task
+    # setup must run once and every batch must still be scored
+    from easy_etl_spark.operators.inference import batch_score, default_weights
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").coalesce(1)
+        out = batch_score(emb, default_weights(64))
+        assert out.count() == emb.count()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
