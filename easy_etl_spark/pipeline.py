@@ -30,6 +30,9 @@ from .sources.sinks import ParquetSink
 class EtlPipeline:
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        #: metrics of the most recent load (survives _reset, like the
+        #: reference's progress display outliving the run)
+        self.last_load_metrics: dict[str, float] = {}
         self._reset()
 
     def _reset(self) -> None:
@@ -140,15 +143,40 @@ class EtlPipeline:
     def load(self, sink: ParquetSink, upsert_fields: list[str] | None = None,
              ensure: bool | None = None, safe: bool = False) -> None:
         """Single action: compile → distributed write → reset
-        (easy_etl/__init__.py:31-44)."""
+        (easy_etl/__init__.py:31-44).
+
+        Observability parity with the reference's tqdm rows/sec display
+        (easy_etl/__init__.py:33-40): row counts ride the write itself
+        via ``Observation`` accumulator metrics — NO extra job, no
+        second scan, unlike a ``.count()`` — and land in
+        ``last_load_metrics`` (rows_loaded, wall_seconds,
+        rows_per_sec). Per-stage detail remains the Spark UI's job.
+        """
+        import time
+
+        from pyspark.sql import Observation
+
         df = self.dataframe()
         if df.isEmpty():
             # truthiness gate: empty resultsets skip the write entirely
             # (easy_etl/__init__.py:37)
+            self.last_load_metrics = {
+                "rows_loaded": 0, "wall_seconds": 0.0, "rows_per_sec": 0.0,
+            }
             self._reset()
             return
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_loaded"))
+        t0 = time.monotonic()
         if upsert_fields:
             sink.upsert(df, upsert_fields, ensure=ensure, safe=safe)
         else:
             sink.append(df, ensure=ensure, safe=safe)
+        wall = time.monotonic() - t0
+        rows = int(obs.get["rows_loaded"])
+        self.last_load_metrics = {
+            "rows_loaded": rows,
+            "wall_seconds": round(wall, 3),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else 0.0,
+        }
         self._reset()

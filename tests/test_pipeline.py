@@ -265,3 +265,19 @@ def test_missing_sql_file_raises(spark):
     # (easy_etl/__init__.py:19-21) instead of running the path as SQL
     with pytest.raises(FileNotFoundError):
         EtlPipeline(spark).extract("/nonexistent/query.sql").dataframe()
+
+
+def test_load_metrics_observed(spark, tmp_path):
+    # O16: rows/sec observability rides the write (Observation
+    # accumulators — no second scan), parity with the reference's tqdm
+    # display (easy_etl/__init__.py:33-40)
+    sink = ParquetSink(spark, str(tmp_path / "t"))
+    pipe = EtlPipeline(spark)
+    pipe.extract("SELECT n_name FROM nation").load(sink)
+    m = pipe.last_load_metrics
+    assert m["rows_loaded"] == 25
+    assert m["wall_seconds"] > 0 and m["rows_per_sec"] > 0
+
+    # empty extract: write skipped, metrics say zero rows
+    pipe.extract("SELECT n_name FROM nation WHERE n_nationkey < 0").load(sink)
+    assert pipe.last_load_metrics["rows_loaded"] == 0
