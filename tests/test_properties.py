@@ -175,3 +175,33 @@ def test_replace_and_zfill_match_python(spark, vals, old, new, width):
     got = {r["i"]: r["v"] for r in out.collect()}
     for i, v in enumerate(vals):
         assert got[i] == v.replace(old, new).zfill(width), (v, old, new, width)
+
+
+#: strings biased toward PII-shaped fragments so matches actually occur
+_pii_texts = st.lists(
+    st.sampled_from(
+        ["a@b.io", "x", "10.0.3.7", "555-0042", "@", ".", "-", "1.2", "a.b@c",
+         "user_1@ex.co", "999", "1.2.3.4.5", " ", "foo@bar", "12-3456"]
+    ),
+    min_size=0,
+    max_size=8,
+).map(" ".join)
+
+
+@given(vals=st.lists(_pii_texts, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_pii_redaction_matches_python_re(spark, vals):
+    # the portable regex subset must behave identically under Java
+    # regex (Spark) and Python re — same matches, same replacement
+    import re
+
+    from easy_etl_spark.operators.textops import PII_PATTERNS, redact_pii
+
+    def py_redact(s: str) -> str:
+        for kind in ("email", "ip", "phone"):
+            s = re.sub(PII_PATTERNS[kind], f"[{kind.upper()}]", s)
+        return s
+
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r.red for r in df.select(redact_pii(F.col("t")).alias("red")).collect()]
+    assert got == [py_redact(v) for v in vals]
