@@ -47,6 +47,7 @@ HEADLINE = [
     "knn_ivf",
     "decontaminate_overlap",
     "sequence_packing",
+    "inference_batch_score",
 ]
 
 
