@@ -149,3 +149,34 @@ def test_watermark_drops_late_events(spark, tmp_path):
     second = run_once("t_late2")
     assert "2024-01-01 12:00:00" not in second   # late event dropped
     assert second.get("2024-01-01 15:00:00") == 1
+
+
+def test_streaming_curation_maps_match_batch(spark, sf_dir, tmp_path_factory):
+    # the wave-4 curation ops are stateless per-row maps, so they run
+    # UNCHANGED on a stream: same Column expressions, same results —
+    # the 100 TB batch pipeline is also the live-ingest pipeline
+    from easy_etl_spark.operators.sampling import stratified_sample
+    from easy_etl_spark.operators.textops import redact_pii
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(table_path(sf_dir, "documents"), d / "part-000.parquet")
+    batch_docs = load_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(batch_docs.schema).format("parquet").load(str(d))
+    )
+
+    def curate(df):
+        kept = stratified_sample(df, {}, default_rate=30)
+        return kept.select("doc_id", redact_pii(F.col("text")).alias("red"))
+
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("t_curated")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.red) for r in spark.table("t_curated").collect()}
+    want = {(r.doc_id, r.red) for r in curate(batch_docs).collect()}
+    assert got == want and got
