@@ -35,11 +35,14 @@ BUCKETS = 100
 def knuth_bucket(id_col: Column) -> Column:
     """Deterministic bucket in [0, 100) from a stable integer id.
 
-    ``(id * 2654435761) % 2^32 % 100`` — stays in int64 for ids up to
-    ~2^31, which holds for any per-source sequence id; for larger ids
-    pre-fold with ``id % 2^31``.
+    ``pmod(id * 2654435761, 2^32) % 100`` — stays in int64 for ids up
+    to ~2^31, which holds for any per-source sequence id; for larger
+    ids pre-fold with ``id % 2^31``. ``pmod`` (not ``%``) so negative
+    ids still land in [0, 100) instead of silently passing every
+    ``bucket < rate`` check; identical to ``%`` for the non-negative
+    ids this is meant for.
     """
-    return (id_col.cast("long") * KNUTH) % (2**32) % BUCKETS
+    return F.pmod(id_col.cast("long") * KNUTH, F.lit(2**32)) % BUCKETS
 
 
 def stratified_sample(

@@ -205,3 +205,46 @@ def test_pii_redaction_matches_python_re(spark, vals):
     df = spark.createDataFrame([(v,) for v in vals], "t string")
     got = [r.red for r in df.select(redact_pii(F.col("t")).alias("red")).collect()]
     assert got == [py_redact(v) for v in vals]
+
+
+_token_texts = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=10
+).map(" ".join)
+
+
+@given(vals=st.lists(_token_texts, min_size=1, max_size=25), n=st.integers(2, 4))
+@settings(**_SETTINGS)
+def test_token_ngrams_match_python(spark, vals, n):
+    from easy_etl_spark.operators.textops import token_ngrams
+
+    def py_ngrams(s: str) -> list[str]:
+        t = s.strip().split(" ")
+        return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r.g for r in df.select(token_ngrams(F.col("t"), n).alias("g")).collect()]
+    assert got == [py_ngrams(v) for v in vals]
+
+
+@given(vals=st.lists(_token_texts, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_dup_bigram_fraction_matches_python(spark, vals):
+    from easy_etl_spark.operators.textops import dup_bigram_fraction
+
+    def py_frac(s: str) -> float:
+        t = s.strip().split(" ")
+        bg = [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+        return 1.0 - len(set(bg)) / len(bg) if bg else 0.0
+
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r.f for r in df.select(dup_bigram_fraction(F.col("t")).alias("f")).collect()]
+    for g, v in zip(got, vals):
+        assert abs(g - py_frac(v)) < 1e-12
+
+
+def test_knuth_bucket_nonnegative_for_negative_ids(spark):
+    from easy_etl_spark.operators.sampling import BUCKETS, knuth_bucket
+
+    df = spark.range(-1000, 0).select(knuth_bucket(F.col("id")).alias("b"))
+    row = df.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
+    assert 0 <= row.lo and row.hi < BUCKETS
