@@ -208,3 +208,50 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
             fingerprint_md5(text).alias("fp_md5"),
         )
     )
+
+
+def build_vocab(
+    docs: DataFrame, top_n: int, text_col: str = "text"
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: (tok, token_id) with ids
+    1..top_n by (count DESC, token ASC) — fully deterministic incl.
+    ties. The only global window runs over the *vocabulary-sized*
+    aggregate (bounded: ~1e5 rows for real corpora), never the corpus;
+    the corpus-side work is one explode + map-side-combined count."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= top_n)
+        .select("tok", F.col("token_id").cast("long").alias("token_id"))
+    )
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocab-encode the corpus to (id, pos, token_id) long format —
+    the text→ids step before sequence packing. Out-of-vocab → 0 (UNK).
+    JVM-only: posexplode + a BROADCAST left join against the (small by
+    construction) vocab — the token stream itself is never shuffled."""
+    pos_tok = (
+        docs.withColumn("__t", tokens(F.col(text_col)))
+        .select(id_col, F.posexplode(F.col("__t")).alias("pos0", "tok"))
+    )
+    return (
+        pos_tok.join(F.broadcast(vocab), "tok", "left")
+        .select(
+            id_col,
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.coalesce(F.col("token_id"), F.lit(0)).cast("long").alias("token_id"),
+        )
+    )

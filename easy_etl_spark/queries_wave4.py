@@ -241,3 +241,75 @@ def inference_batch_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scored = batch_score(emb, default_weights(64))
     return scored.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'o_orderstatus' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift / data-quality profile: per-column row, null, and
+    distinct counts in one scan (operators/profiling.py; the oracle's
+    three scans are the naive SQL equivalent). exact=True here for the
+    oracle; the approx_count_distinct twin is the no-Expand standing
+    profile at scale."""
+    from .operators.profiling import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    prof = profile_columns(orders, ["o_orderstatus", "o_orderpriority", "o_custkey"])
+    return prof.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "vocab_encode",
+    """
+    WITH tok AS (
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)+1),
+                      i -> {'pos': i, 'tok': t[i]}), recursive := true)
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+      )
+    ),
+    vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS token_id
+      FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+      ORDER BY cnt DESC, tok
+      LIMIT 16
+    )
+    SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+           CAST(coalesce(v.token_id, 0) AS BIGINT) AS token_id
+    FROM tok t LEFT JOIN vocab v USING (tok)
+    """,
+)
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids: frequency-ranked top-16 vocabulary (small on
+    purpose so OOV→UNK=0 actually occurs in the corpus), then encode
+    every doc to (doc_id, pos, token_id). The vocab join is broadcast;
+    the token stream never shuffles (operators/textops.py:build_vocab,
+    encode_tokens)."""
+    from .operators.textops import build_vocab, encode_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_n=16)
+    return encode_tokens(docs, vocab)

@@ -172,3 +172,43 @@ def test_batch_score_iterator_handles_many_batches(spark, sf_dir):
         assert out.count() == emb.count()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_profile_columns_exact_and_approx(spark, sf_dir):
+    from easy_etl_spark.operators.profiling import profile_columns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = {r.col_name: r for r in profile_columns(docs, ["lang", "source"]).collect()}
+    n = docs.count()
+    assert prof["lang"].n_rows == n and prof["source"].n_rows == n
+    assert prof["lang"].n_null == 0
+    assert prof["lang"].n_distinct == docs.select("lang").distinct().count()
+    assert prof["source"].n_distinct == docs.select("source").distinct().count()
+    # approx twin: within HLL++ default error of exact
+    ap = {r.col_name: r.n_distinct for r in profile_columns(docs, ["lang", "source"], exact=False).collect()}
+    assert abs(ap["source"] - prof["source"].n_distinct) <= max(2, 0.05 * prof["source"].n_distinct)
+
+
+def test_build_vocab_and_encode_roundtrip(spark):
+    from easy_etl_spark.operators.textops import build_vocab, encode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b rare")], ["doc_id", "text"]
+    )
+    vocab = {r.tok: r.token_id for r in build_vocab(docs, top_n=2).collect()}
+    # freq: b=4, a=3, c=1, rare=1 -> top2 = b:1, a:2 (count desc, tok asc)
+    assert vocab == {"b": 1, "a": 2}
+    enc = encode_tokens(docs, build_vocab(docs, top_n=2))
+    got = {(r.doc_id, r.pos): r.token_id for r in enc.collect()}
+    assert got == {
+        (1, 1): 1, (1, 2): 1, (1, 3): 1, (1, 4): 2, (1, 5): 2, (1, 6): 0,
+        (2, 1): 2, (2, 2): 1, (2, 3): 0,
+    }
+
+
+def test_build_vocab_tie_break_deterministic(spark):
+    from easy_etl_spark.operators.textops import build_vocab
+
+    docs = spark.createDataFrame([(1, "z y x z y x")], ["doc_id", "text"])
+    v1 = [(r.tok, r.token_id) for r in build_vocab(docs, 3).orderBy("token_id").collect()]
+    assert v1 == [("x", 1), ("y", 2), ("z", 3)]  # equal counts -> token asc
