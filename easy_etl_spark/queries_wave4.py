@@ -1,10 +1,12 @@
 """Fourth wave: training-data curation extensions — PII redaction,
 repetition-based quality signal, deterministic stratified source
-mixing, benchmark decontamination, and sequence packing. The first
-three are per-row maps + one small aggregate (scan-shaped plans, no
-joins); decontamination's only join is against a broadcast benchmark
-gram set, and packing's prefix sum is the partition-offset scheme —
-nothing here has a single-partition stage, so the plans hold at 100 TB.
+mixing, benchmark decontamination, sequence packing, Arrow-batched
+model inference, one-pass column profiling, and vocab build +
+tokenize-to-ids. The per-row maps are scan-shaped plans (no joins);
+every join here is against a broadcast small side (benchmark gram set,
+vocabulary), and packing's prefix sum is the partition-offset scheme —
+nothing in this module has a single-partition stage, so the plans hold
+at 100 TB (see SCALING.md).
 
 Beyond the reference's surface (exit99/easy-etl has no text or
 sampling ops); part of the BASELINE.json north-star extension set.
