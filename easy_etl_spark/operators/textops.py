@@ -215,21 +215,22 @@ def build_vocab(
 ) -> DataFrame:
     """Frequency-ranked token vocabulary: (tok, token_id) with ids
     1..top_n by (count DESC, token ASC) — fully deterministic incl.
-    ties. The only global window runs over the *vocabulary-sized*
-    aggregate (bounded: ~1e5 rows for real corpora), never the corpus;
-    the corpus-side work is one explode + map-side-combined count."""
-    from pyspark.sql import Window
-
+    ties. Corpus-side work is one explode + map-side-combined count;
+    ranking is a distributed top-N, with only the top_n winners ever
+    reaching the driver."""
     counts = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
-    return (
-        counts.withColumn("token_id", F.row_number().over(w))
-        .filter(F.col("token_id") <= top_n)
-        .select("tok", F.col("token_id").cast("long").alias("token_id"))
+    # orderBy + limit plans a DISTRIBUTED TakeOrdered (per-partition
+    # top-N, then a top_n-sized merge) — no single-partition global
+    # window; ranks are then assigned driver-side over the bounded
+    # (≤ top_n rows) result.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(top_n).collect()
+    return docs.sparkSession.createDataFrame(
+        [(r["tok"], i + 1) for i, r in enumerate(top)],
+        "tok string, token_id long",
     )
 
 
