@@ -123,3 +123,11 @@ def test_sequence_packing_no_global_window(spark, sf_dir):
     for line in f.text.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "__pid" in line, line
+
+
+def test_vocab_encode_join_is_broadcast(spark, sf_dir):
+    # the token stream must never shuffle: the (bounded) vocab is the
+    # broadcast side of the encode join
+    f = _facts(spark, sf_dir, "vocab_encode")
+    assert f.broadcast_joins >= 1
+    assert f.sort_merge_joins == 0, "encode join degraded to sort-merge"
