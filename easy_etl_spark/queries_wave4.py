@@ -315,3 +315,40 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs, top_n=16)
     return encode_tokens(docs, vocab)
+
+
+@register(
+    "knn_filtered",
+    """
+    WITH v AS (
+      SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, e, sqrt(list_sum([x*x FOR x IN e])) AS nrm FROM v),
+    q AS (SELECT * FROM n WHERE vec_id < 5),
+    c AS (SELECT * FROM n WHERE label = 1),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_zip(q.e, c.e).apply(p -> p[1]*p[2])) / (q.nrm*c.nrm), 6) AS cosine
+      FROM q JOIN c ON c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (filtered) vector search: exact top-k cosine among only
+    the corpus vectors passing a metadata predicate (label = 1) — the
+    filter composes BEFORE the distance work and pushes to the parquet
+    scan, so the excluded vectors are never read, let alone scored.
+    Same broadcast-query / partial-top-k shape as knn_brute_force."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") == 1)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(corpus, queries_df, k=10).select(
+        "query_id", "neighbor_id", "cosine", "rnk"
+    )

@@ -131,3 +131,11 @@ def test_vocab_encode_join_is_broadcast(spark, sf_dir):
     f = _facts(spark, sf_dir, "vocab_encode")
     assert f.broadcast_joins >= 1
     assert f.sort_merge_joins == 0, "encode join degraded to sort-merge"
+
+
+def test_knn_filtered_pushes_metadata_predicate(spark, sf_dir):
+    # hybrid search: the label filter must reach the parquet scan so
+    # excluded vectors are never read
+    f = _facts(spark, sf_dir, "knn_filtered")
+    assert any("label" in p and "EqualTo" in p for p in f.pushed_filters), f.pushed_filters
+    assert f.broadcast_joins >= 1 and f.sort_merge_joins == 0
