@@ -122,6 +122,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # The engine must be correct under ANY caller's session, not just
+    # get_spark()'s: the driver harness builds its own SparkSession
+    # without our builder confs, and the testdata's nanosecond parquet
+    # timestamps make a vanilla read fail with PARQUET_TYPE_ILLEGAL.
+    # This conf is runtime-settable, so pin it here at every load.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Event timestamps are naive-UTC instants; DuckDB (the oracle) reads
+    # them without tz conversion, so formatting/collect must use UTC too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):

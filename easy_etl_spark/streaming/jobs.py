@@ -24,6 +24,9 @@ def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame
     """File-based stream over an events parquet directory. On a real
     deployment this is the Kafka/file-drop source; schema must be
     explicit for streaming reads."""
+    # pin the nanosecond-parquet conf so this works under any caller's
+    # session, not just get_spark()'s (same rationale as load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         static = spark.read.parquet(path)
         schema = static.schema

@@ -1,0 +1,55 @@
+"""The engine must be correct under ANY caller's SparkSession.
+
+The round-1 driver harness built its own session without our builder
+confs and every events-table query died on the nanosecond-parquet read
+(PARQUET_TYPE_ILLEGAL). load_table now pins the runtime-settable confs
+itself; these tests simulate a conf-less caller by unsetting them on
+the shared session before calling into the engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from easy_etl_spark.session import load_table
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@pytest.fixture()
+def confless(spark):
+    """Strip the confs get_spark() set, restoring them after."""
+    saved = {
+        NANOS_CONF: spark.conf.get(NANOS_CONF, None),
+        "spark.sql.session.timeZone": spark.conf.get("spark.sql.session.timeZone"),
+    }
+    spark.conf.unset(NANOS_CONF)
+    yield spark
+    for k, v in saved.items():
+        if v is not None:
+            spark.conf.set(k, v)
+
+
+def test_load_table_self_sufficient(confless, sf_dir):
+    # would raise PARQUET_TYPE_ILLEGAL before load_table pinned the conf
+    events = load_table(confless, sf_dir, "events")
+    assert events.count() > 0
+    assert dict(events.dtypes)["ts"] == "timestamp"
+
+
+def test_events_query_self_sufficient(confless, sf_dir):
+    import __spark_entry__ as entry
+
+    confless.conf.unset(NANOS_CONF)
+    df = entry.queries()["events_tumbling"](confless, sf_dir)
+    assert df.count() > 0
+
+
+def test_streaming_reader_self_sufficient(confless, sf_dir):
+    from easy_etl_spark.streaming.jobs import read_events_stream
+    from easy_etl_spark.session import table_path
+
+    confless.conf.unset(NANOS_CONF)
+    stream = read_events_stream(confless, table_path(sf_dir, "events"))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
