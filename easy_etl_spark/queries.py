@@ -11,8 +11,10 @@ events) registered by the sibling modules.
 Hash-safety conventions (driver compares order-insensitive value
 hashes, column-name aligned):
   - every computed column is aliased identically in Spark and SQL;
-  - double aggregates are rounded (sums→2dp, avgs→4dp) so IEEE
-    summation-order noise cannot flip the hash;
+  - double GROUP-BY/window aggregates go through functions.exact
+    (per-row decimal quantization → exact order-independent sum;
+    rounding alone is NOT enough — IEEE summation-order noise can
+    flip a rounded digit, see functions/exact.py);
   - timestamps in outputs are formatted to strings in both engines.
 """
 
@@ -23,6 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.exact import dec_avg, dec_sum, sql_avg, sql_sum
 from .operators.links import asof_link, link, with_surrogate_id
 from .session import load_table
 from .sources.readers import incremental_sql_extract, python_source
@@ -54,16 +57,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
-           count(*)                                                     AS count_order
+           {sql_sum('l_quantity')} AS sum_qty,
+           {sql_sum('l_extendedprice')} AS sum_base_price,
+           {sql_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_avg('l_quantity')} AS avg_qty,
+           {sql_avg('l_extendedprice')} AS avg_price,
+           {sql_avg('l_discount')} AS avg_disc,
+           count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -79,13 +82,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -93,9 +96,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_top_orders",
-    """
+    f"""
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -120,7 +123,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -134,9 +137,9 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_region_volume",
-    """
+    f"""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {sql_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -171,14 +174,14 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 @register(
     "q6_revenue_delta",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    f"""
+    SELECT {sql_sum('l_extendedprice * l_discount')} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -198,7 +201,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -232,9 +235,10 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS running_spend
     FROM orders
     """,
 )
@@ -250,16 +254,25 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        # exact integer-unit window sum: DuckDB evaluates windowed float
+        # aggregates with a segment tree (different addition order than
+        # Spark's running accumulator), so double sums here are not
+        # cross-engine stable even though each engine alone is ordered
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint"))
+            .over(w)
+            .cast("double")
+            / 100.0
+        ).alias("running_spend"),
     )
 
 
 @register(
     "grouping_sets_rollup",
-    """
+    f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_quantity), 2)     AS sum_qty,
+           {sql_sum('l_quantity')} AS sum_qty,
            count(*)                      AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -271,7 +284,7 @@ def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .agg(dec_sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),

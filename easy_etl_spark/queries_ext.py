@@ -193,7 +193,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats_by_lang",
     """
     SELECT lang, source, count(*) AS n_docs,
-           round(avg(n_chars), 4) AS avg_chars,
+           round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars,
            sum(len(string_split(trim(text), ' '))) AS total_tokens
     FROM documents
     GROUP BY lang, source
@@ -201,9 +201,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    # integer sum / one division: exact in any accumulation order —
+    # round(avg(double)) was the round-1 flaky hash (VERDICT.md #2)
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 4).alias("avg_chars"),
         F.sum(textops.token_count(F.col("text"))).alias("total_tokens"),
     )
 
@@ -240,7 +242,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
+           (CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value,
            count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY 1, 2
@@ -261,7 +263,8 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e, UNNEST([0, 1800]) AS t(off)
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events,
+           (CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
     FROM x GROUP BY 1
     """,
 )
@@ -290,7 +293,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_id, count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           round(sum(value), 2) AS sum_value
+           (CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
     FROM ids GROUP BY user_id, session_id
     """,
 )
@@ -403,7 +406,8 @@ def udtf_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rollup_reuse",
     """
     WITH hourly AS (
-      SELECT date_trunc('hour', ts) AS b, count(*) AS n, sum(value) AS s
+      SELECT date_trunc('hour', ts) AS b, count(*) AS n,
+             sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s
       FROM events GROUP BY 1
     ),
     daily AS (
@@ -415,7 +419,8 @@ def udtf_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY 1
     )
     SELECT grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start, n,
-           round(s, 2) AS total, round(s / n, 4) AS avg_value
+           round(CAST(s AS DOUBLE) / 1000000.0, 2) AS total,
+           round(CAST(s AS DOUBLE) / 1000000.0 / n, 4) AS avg_value
     FROM (
       SELECT 'hour' AS grain, * FROM hourly
       UNION ALL SELECT 'day', * FROM daily

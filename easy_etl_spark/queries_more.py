@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .functions.exact import dec_sum, sql_sum
 from .queries import register
 from .session import load_table
 
@@ -52,9 +53,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_customers",
-    """
+    f"""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -82,7 +83,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -91,11 +92,9 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_share",
-    """
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
+    f"""
+    SELECT round(100.0 * {sql_sum("CASE WHEN p.p_type = 'ECONOMY' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", scale=6)}
+                 / {sql_sum('l.l_extendedprice * (1 - l.l_discount)', scale=6)}, 4) AS promo_share
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
@@ -113,7 +112,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0)) / F.sum(rev),
+                100.0
+                * dec_sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0), scale=6)
+                / dec_sum(rev, scale=6),
                 4,
             ).alias("promo_share")
         )
@@ -122,12 +123,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_orders",
-    """
+    f"""
     SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice, t.sum_qty
     FROM orders o
-    JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+    JOIN (SELECT l_orderkey, {sql_sum('l_quantity')} AS sum_qty
           FROM lineitem GROUP BY l_orderkey
-          HAVING sum(l_quantity) > 210) t
+          HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 21000) t
       ON o.o_orderkey = t.l_orderkey
     """,
 )
@@ -137,9 +138,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__q"))
-        .filter(F.col("__q") > 210)
-        .select("l_orderkey", F.round("__q", 2).alias("sum_qty"))
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
+        # exact decimal sum makes the HAVING threshold cross-engine
+        # stable too (a float sum straddling 210 would flip row counts)
+        .filter(F.col("sum_qty") > 210)
     )
     return o.join(big, o.o_orderkey == big.l_orderkey).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"), "sum_qty"
@@ -148,8 +150,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive",
-    """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    f"""
+    SELECT {sql_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
        OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
@@ -169,16 +171,17 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
 @register(
     "cube_agg",
-    """
+    f"""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           {sql_sum('o_totalprice')} AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -187,7 +190,7 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice").alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -220,9 +223,9 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "outer_join_counts",
-    """
+    f"""
     SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+           coalesce({sql_sum('o.o_totalprice')}, 0.0) AS total_spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     """,
@@ -236,7 +239,7 @@ def outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            F.coalesce(dec_sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
         )
     )
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.exact import dec_sum, sql_avg, sql_sum
 from .queries import register
 from .session import load_table
 
@@ -33,8 +34,9 @@ def _rev():
 
 @register(
     "q7_nation_volume",
-    """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_sum('volume')} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l.l_shipdate) AS l_year,
@@ -73,16 +75,16 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .select("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"), _rev())
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(dec_sum("volume").alias("revenue"))
     )
 
 
 @register(
     "q8_market_share",
-    """
+    f"""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round({sql_sum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END", scale=6)}
+                 / {sql_sum('volume', scale=6)}, 4) AS mkt_share
     FROM (
       SELECT year(o.o_orderdate) AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -127,8 +129,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)))
-                / F.sum("volume"),
+                dec_sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)),
+                    scale=6,
+                )
+                / dec_sum("volume", scale=6),
                 4,
             ).alias("mkt_share")
         )
@@ -137,8 +142,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_profit_by_nation",
-    """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    f"""
+    SELECT nation, o_year,
+           {sql_sum('amount')} AS sum_profit
     FROM (
       SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS amount
@@ -168,17 +174,19 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, F.col("s_nationkey") == F.col("sk"))
         .select("nation", F.year("o_orderdate").alias("o_year"), _rev().alias("amount"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(dec_sum("amount").alias("sum_profit"))
     )
 
 
 @register(
     "q11_nation_concentration",
-    """
-    SELECT n.n_name AS n_name, round(sum(s.s_acctbal), 2) AS total_bal
+    f"""
+    SELECT n.n_name AS n_name,
+           {sql_sum('s.s_acctbal')} AS total_bal
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
-    HAVING sum(s.s_acctbal) > (SELECT sum(s_acctbal) * 0.05 FROM supplier)
+    HAVING {sql_sum('s.s_acctbal')}
+           > (SELECT {sql_sum('s_acctbal')} * 0.05 FROM supplier)
     """,
 )
 def q11_nation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,16 +195,16 @@ def q11_nation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a broadcast cross-join against the 1-row global aggregate."""
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    total = s.agg((F.sum("s_acctbal") * 0.05).alias("__cut"))
+    total = s.agg((dec_sum("s_acctbal") * 0.05).alias("__cut"))
     per_nation = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum("s_acctbal").alias("__bal"))
+        .agg(dec_sum("s_acctbal").alias("total_bal"))
     )
     return (
         per_nation.join(F.broadcast(total))
-        .filter(F.col("__bal") > F.col("__cut"))
-        .select("n_name", F.round("__bal", 2).alias("total_bal"))
+        .filter(F.col("total_bal") > F.col("__cut"))
+        .select("n_name", "total_bal")
     )
 
 
@@ -227,10 +235,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    """
+    f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             {sql_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -250,10 +258,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = _t(spark, sf_dir, "supplier")
+    # exact decimal sum matters doubly here: the WHERE compares revenue
+    # for *equality* against the max, so last-ulp noise would drop rows
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     return (
@@ -265,12 +273,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_quantity_revenue",
-    """
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    f"""
+    SELECT round({sql_sum('l.l_extendedprice')} / 7.0, 2) AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#13'
       AND l.l_quantity < (
-        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        SELECT 0.2 * ({sql_sum('l2.l_quantity', scale=6)} / count(l2.l_quantity))
+        FROM lineitem l2
         WHERE l2.l_partkey = p.p_partkey)
     """,
 )
@@ -279,14 +288,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part average joined back (what Catalyst itself would emit)."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    # exact avg (decimal sum / count): the threshold compare must agree
+    # bit-for-bit with the oracle or boundary rows flip in/out
     avg_qty = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        (F.avg("l_quantity") * 0.2).alias("__cut")
+        (0.2 * (dec_sum("l_quantity", scale=6) / F.count("l_quantity"))).alias("__cut")
     )
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .join(avg_qty, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(dec_sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
     )
 
 
@@ -351,12 +362,14 @@ def q21_exclusive_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_idle_customers",
-    """
-    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    f"""
+    SELECT cntrycode, count(*) AS numcust,
+           {sql_sum('c_acctbal')} AS totacctbal
     FROM (
       SELECT substring(c.c_name, 13, 3) AS cntrycode, c.c_acctbal AS c_acctbal
       FROM customer c
-      WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      WHERE c.c_acctbal > (SELECT {sql_sum('c_acctbal', scale=6)} / count(c_acctbal)
+                           FROM customer WHERE c_acctbal > 0.0)
         AND NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_totalprice > 400000)
@@ -371,7 +384,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     against *high-value* orders to keep the result non-trivial."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    cut = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__avg"))
+    cut = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dec_sum("c_acctbal", scale=6) / F.count("c_acctbal")).alias("__avg")
+    )
     return (
         c.join(F.broadcast(cut))
         .filter(F.col("c_acctbal") > F.col("__avg"))
@@ -382,16 +397,16 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.substring("c_name", 13, 3).alias("cntrycode"), "c_acctbal")
         .groupBy("cntrycode")
-        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .agg(F.count(F.lit(1)).alias("numcust"), dec_sum("c_acctbal").alias("totacctbal"))
     )
 
 
 @register(
     "pivot_status_by_flag",
-    """
+    f"""
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS F,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS O
+           {sql_sum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+           {sql_sum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -404,7 +419,7 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(dec_sum("l_quantity"))
     )
     return piv
 
@@ -435,8 +450,9 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "systematic_sample",
-    """
-    SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sampled_total
+    f"""
+    SELECT count(*) AS n,
+           {sql_sum('o_totalprice')} AS sampled_total
     FROM orders WHERE o_orderkey % 20 = 0
     """,
 )
@@ -447,7 +463,7 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan like any filter."""
     o = _t(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") % 20 == 0).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sampled_total")
+        F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice").alias("sampled_total")
     )
 
 

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
+from .windows import _dec_sum
+
 
 def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """File-based stream over an events parquet directory. On a real
@@ -45,7 +47,7 @@ def tumbling_counts_stream(events: DataFrame, minutes: int = 60, watermark: str 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", f"{minutes} minutes"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dec_sum("value").alias("sum_value"))
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -63,7 +65,7 @@ def sliding_counts_stream(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", f"{length_min} minutes", f"{slide_min} minutes"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dec_sum("value").alias("sum_value"))
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n_events",
@@ -78,7 +80,7 @@ def session_window_stream(events: DataFrame, gap_minutes: int = 30, watermark: s
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dec_sum("value").alias("sum_value"))
         .select(
             "user_id",
             F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),

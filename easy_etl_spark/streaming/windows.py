@@ -16,6 +16,15 @@ from pyspark.sql import functions as F
 FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _dec_sum(col, scale: int = 2):
+    """Order-independent float sum (see functions/exact.py): per-row
+    integer quantization makes the aggregation associative, so Spark's
+    partition order and DuckDB's accumulation agree bit-for-bit."""
+    from ..functions.exact import dec_sum
+
+    return dec_sum(col, scale)
+
+
 def _grid(ts, seconds: int):
     """Floor a timestamp onto an epoch grid (window start)."""
     return F.timestamp_seconds(F.floor(F.unix_timestamp(ts) / seconds) * seconds)
@@ -32,7 +41,7 @@ def tumbling(events: DataFrame, minutes: int = 60) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _dec_sum("value").alias("sum_value"),
             # exact distinct for oracle parity; at 100 TB swap for
             # approx_count_distinct (HLL) — one partial-agg pass.
             F.countDistinct("user_id").alias("n_users"),
@@ -53,7 +62,7 @@ def sliding(events: DataFrame, length_min: int = 60, slide_min: int = 30) -> Dat
         .withColumn("window_start", F.date_format(
             F.timestamp_seconds(F.unix_timestamp(base) - F.col("__off")), FMT))
         .groupBy("window_start")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dec_sum("value").alias("sum_value"))
     )
 
 
@@ -78,7 +87,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.date_format(F.min("ts"), FMT).alias("session_start"),
             F.date_format(F.max("ts"), FMT).alias("session_end"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _dec_sum("value").alias("sum_value"),
         )
     )
 
@@ -149,7 +158,12 @@ def rollup_reuse(events: DataFrame, value_col: str = "value") -> DataFrame:
     """
     hourly = (
         events.groupBy(F.date_trunc("hour", F.col("ts")).alias("b"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
+        # integer-unit partials: exact, so re-aggregation at coarser
+        # grains is order-independent too (the point of reusable partials)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col(value_col) * 1000000.0 + 0.5).cast("bigint")).alias("s"),
+        )
     )
     daily = (
         hourly.groupBy(F.date_trunc("day", F.col("b")).alias("b"))
@@ -165,8 +179,8 @@ def rollup_reuse(events: DataFrame, value_col: str = "value") -> DataFrame:
             F.lit(grain).alias("grain"),
             F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
             "n",
-            F.round("s", 2).alias("total"),
-            F.round(F.col("s") / F.col("n"), 4).alias("avg_value"),
+            F.round(F.col("s").cast("double") / F.lit(1000000.0), 2).alias("total"),
+            F.round(F.col("s").cast("double") / F.lit(1000000.0) / F.col("n"), 4).alias("avg_value"),
         )
         out = level if out is None else out.unionByName(level)
     return out

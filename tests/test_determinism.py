@@ -1,0 +1,56 @@
+"""Aggregates must be bit-deterministic across partitioning.
+
+Float sums accumulate in partition order; the driver's value-hash
+compare (and any rerun of it) is only stable if the aggregation is
+exact. These tests run the same catalog query under two very different
+partitionings (scan split size + shuffle partition count) and require
+identical collected values — the regression gate for the
+functions/exact.py quantization scheme (round-1 `text_stats_by_lang`
+flaked exactly here).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from easy_etl_spark.queries import QUERIES
+
+# queries whose outputs are float aggregates over enough rows that
+# IEEE order-noise would show up without exact aggregation
+CASES = [
+    "q1_pricing_summary",
+    "q6_revenue_delta",
+    "q9_profit_by_nation",
+    "text_stats_by_lang",
+    "events_tumbling",
+    "events_rollup_reuse",
+    "running_total",
+]
+
+
+def _run(spark, name, sf_dir):
+    rows = QUERIES[name](spark, sf_dir).collect()
+    return sorted(tuple(repr(v) for v in row) for row in rows)
+
+
+@pytest.fixture()
+def repartitioned(spark):
+    saved = {
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.files.maxPartitionBytes": spark.conf.get("spark.sql.files.maxPartitionBytes"),
+    }
+    yield spark
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_agg_stable_across_partitioning(repartitioned, sf_dir, name):
+    spark = repartitioned
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))  # many tiny splits
+    a = _run(spark, name, sf_dir)
+    spark.conf.set("spark.sql.shuffle.partitions", "29")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    b = _run(spark, name, sf_dir)
+    assert a == b
