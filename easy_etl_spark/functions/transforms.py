@@ -108,18 +108,31 @@ NATIVE_METHODS: dict[str, Callable[..., Column]] = {
 }
 
 
-def python_method_udf(method: str, args: tuple, kwargs: dict) -> Callable[[Column], Column]:
+def python_method_udf(
+    method: str, args: tuple, kwargs: dict, returns: "T.DataType | str | None" = None
+) -> Callable[[Column], Column]:
     """UDF fallback preserving 'any Python method of the value's type'
     (easy_etl/__init__.py:184-191). Slow path by design; only hit for
     methods outside NATIVE_METHODS.
+
+    ``returns`` declares the method's Spark return type (like .func()
+    does for scalar UDFs). Without it the result is coerced to str —
+    an explicit, documented coercion rather than the silent nulling
+    Spark does when a UDF's declared StringType mismatches the actual
+    value (e.g. ``split`` → list, ``bit_length`` → int).
     """
+    rt = returns or T.StringType()
+    coerce = returns is None
 
     def apply(value: Any) -> Any:
         if value is None:
             return None
-        return getattr(value, method)(*args, **kwargs)
+        out = getattr(value, method)(*args, **kwargs)
+        if coerce and out is not None and not isinstance(out, str):
+            out = str(out)
+        return out
 
-    return F.udf(apply, T.StringType())
+    return F.udf(apply, rt)
 
 
 class TransformPipeline:
@@ -165,6 +178,10 @@ def apply_transform(df: DataFrame, field: str, method: str, args: tuple, kwargs:
     if method == "__func__":
         fn, rtype = args
         return df.withColumn(field, F.udf(fn, rtype)(F.col(field)))
+    # reserved kwarg: declare the UDF fallback's Spark return type
+    # (``.bit_length(returns="int")``); never passed to the method
+    kwargs = dict(kwargs)
+    returns = kwargs.pop("returns", None)
     native = NATIVE_METHODS.get(method)
     if native is not None:
         try:
@@ -173,4 +190,4 @@ def apply_transform(df: DataFrame, field: str, method: str, args: tuple, kwargs:
             # arg shape the native mapping doesn't cover (e.g.
             # replace(old, new, count), strip(chars)) → exact UDF path
             pass
-    return df.withColumn(field, python_method_udf(method, args, kwargs)(F.col(field)))
+    return df.withColumn(field, python_method_udf(method, args, kwargs, returns)(F.col(field)))

@@ -346,53 +346,91 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def embedding_dup_pairs(
-    emb: DataFrame, threshold: float = 0.45, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Exact pairwise cosine near-dup over embeddings as a block-matrix
-    similarity join: the normalized corpus is broadcast once (Spark
-    torrent broadcast), and each partition matmuls its block against it
-    with numpy — vectorized Arrow/BLAS instead of a 2M-row expression-
-    tree join (23s → <1s at 2k vectors locally).
+    """Exact pairwise cosine near-dup over embeddings as a DISTRIBUTED
+    block-matrix similarity join: vectors are packed into `n_blocks`
+    row blocks, the upper triangle of block pairs is enumerated with a
+    self-join, and each task matmuls one block pair with numpy (Arrow
+    batch in, BLAS dgemm, sparse thresholded pairs out).
 
-    Scale posture: exact all-pairs is the verifier / per-bucket path.
-    It is correct while one side fits in executor memory (dim-table-
-    sized corpora or LSH buckets); beyond that, generate candidates
-    with similarity.lsh_bucketed_neighbors and verify those pairs here.
+    No driver-side collect/broadcast anywhere (the round-1 version
+    pulled the corpus to the driver — a 100 TB driver OOM): peak task
+    memory is two blocks, shuffle volume is n_blocks replicas of the
+    corpus. Exact all-pairs is inherently O(n²) compute at any layout;
+    for corpora beyond dim-table size generate candidates with
+    similarity.lsh_bucketed_neighbors / minhash bands and verify only
+    those pairs — this operator is the exact path and the per-bucket
+    verifier.
     """
     import numpy as np
-
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype="int64")
-    mat = np.array([r[1] for r in rows], dtype="float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-
-    def block(batches):
-        import pandas as pd
-
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.stack(pdf["__v"].to_numpy())
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = qn @ all_mat.T
-            qi = pdf["__id"].to_numpy()
-            # upper triangle only (id_a < id_b), threshold on raw value
-            mask = (qi[:, None] < all_ids[None, :]) & (sims >= threshold)
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": qi[ai],
-                    "id_b": all_ids[bj],
-                    "cosine": np.round(sims[ai, bj], 6),
-                }
-            )
 
     v = emb.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    return v.mapInPandas(block, "id_a bigint, id_b bigint, cosine double")
+    # pack each block into one row: ids + row-major matrix, pairing
+    # preserved by packing structs (two collect_lists would not be)
+    packed = (
+        v.groupBy(F.pmod(F.col("__id"), F.lit(n_blocks)).alias("__b"))
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("__rows"))
+        .select(
+            "__b",
+            F.transform("__rows", lambda r: r["__id"]).alias("__ids"),
+            F.transform("__rows", lambda r: r["__v"]).alias("__vecs"),
+        )
+    )
+    pairs = (
+        packed.alias("L")
+        .join(packed.alias("R"), F.col("L.__b") <= F.col("R.__b"))
+        .select(
+            F.col("L.__b").alias("bl"),
+            F.col("R.__b").alias("br"),
+            F.col("L.__ids").alias("lids"),
+            F.col("L.__vecs").alias("lvecs"),
+            F.col("R.__ids").alias("rids"),
+            F.col("R.__vecs").alias("rvecs"),
+        )
+        # spread the O(B²/2) block-pair tasks across the cluster
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def block_pair(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                li = np.asarray(row["lids"], dtype="int64")
+                ri = np.asarray(row["rids"], dtype="int64")
+                lm = np.stack(row["lvecs"])
+                rm = np.stack(row["rvecs"])
+                lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+                rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+                sims = lm @ rm.T
+                mask = sims >= threshold
+                if row["bl"] == row["br"]:
+                    # diagonal block: each unordered pair once
+                    mask &= li[:, None] < ri[None, :]
+                else:
+                    # off-diagonal: every cross pair appears exactly once
+                    # (in arbitrary orientation) — canonicalize below
+                    mask &= li[:, None] != ri[None, :]
+                ai, bj = np.nonzero(mask)
+                if len(ai) == 0:
+                    continue
+                a, b = li[ai], ri[bj]
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(a, b),
+                        "id_b": np.maximum(a, b),
+                        "cosine": np.round(sims[ai, bj], 6),
+                    }
+                )
+
+    return pairs.mapInPandas(
+        block_pair, "id_a bigint, id_b bigint, cosine double"
+    )

@@ -54,6 +54,8 @@ def batch_score(
         model = b_model.value  # once per task, before the batch loop
         w, b = model["w"], model["b"]
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack raises on an empty Arrow batch
+                continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             z = x @ w + b
             s = 1.0 / (1.0 + np.exp(-z))

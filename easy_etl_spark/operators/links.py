@@ -37,15 +37,29 @@ from pyspark.sql import functions as F
 _ASOF_OPS = {">=", ">", "<=", "<"}
 
 
-def with_surrogate_id(dim: DataFrame, order_by: str | list[str], id_col: str = "id") -> DataFrame:
+def with_surrogate_id(
+    dim: DataFrame, order_by: str | list[str], id_col: str = "id", max_rows: int = 10_000_000
+) -> DataFrame:
     """Dense 1-based surrogate key, deterministic via ``order_by``.
 
     Stands in for the reference's auto-increment ``id``
     (easy_etl/README.md:180). ``row_number`` needs a total order →
-    single-stage shuffle on a window; acceptable because dims are small.
-    For 100 TB fact tables use this only on dimension tables — facts get
-    ``monotonically_increasing_id`` (sparse but shuffle-free) instead.
+    the whole input flows through ONE window task, acceptable only
+    because dims are small. The ``max_rows`` guard (a cheap dim-scan
+    count) makes pointing this at a fact table an error instead of a
+    silent single-task bottleneck — facts get the partition-offset
+    scheme (sources/sinks.py) or ``monotonically_increasing_id``
+    (sparse but shuffle-free) instead. Pass ``max_rows=None`` to skip
+    the guard (and its count job) on a pre-validated dim.
     """
+    if max_rows is not None:
+        n = dim.count()
+        if n > max_rows:
+            raise ValueError(
+                f"with_surrogate_id is a dims-only operator (global-window "
+                f"row_number): input has {n} rows > max_rows={max_rows}; use "
+                f"the partition-offset id scheme for fact tables"
+            )
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     w = Window.orderBy(*[F.col(c) for c in cols])
     return dim.withColumn(id_col, F.row_number().over(w))

@@ -32,7 +32,17 @@ def salted_join(
     rows are replicated across all salts. The join key becomes
     (key, salt), splitting each hot key's rows across `salt` reducers.
     Column set of the result matches big ⋈ small on `key`.
+
+    Only inner/left/left_semi/left_anti are supported: the small side
+    is replicated `salt` times, so any join type that emits unmatched
+    SMALL-side rows (right/full outer) would emit each of them `salt`
+    times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti joins; got how={how!r} "
+            "(the replicated small side would duplicate unmatched rows)"
+        )
     salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
     replicated = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return salted_big.join(replicated, [key, "__salt"], how).drop("__salt")

@@ -96,30 +96,28 @@ def kmeans_centroids(
     sample_size: int = 100_000,
 ) -> "list[list[float]]":
     """Deterministic Lloyd k-means trained on a bounded sample, the
-    standard IVF training recipe: collect ≤ sample_size vectors
-    (systematic hash-sample, reproducible — no RNG), run Lloyd locally
-    in numpy, return the n_lists × dim centroid table. One Spark job
-    regardless of iters — the full corpus is only ever touched by the
-    distributed *assignment* pass in ivf_neighbors. Centroid quality
-    needs sample representativeness, not the full corpus: 100k
-    vectors bound the centroid error at any corpus scale."""
+    standard IVF training recipe: take the sample_size hash-smallest
+    vectors (a uniform reproducible sample — no RNG, no prior count),
+    run Lloyd locally in numpy, return the n_lists × dim centroid
+    table. ONE Spark job regardless of corpus size or iters — the
+    hash-order limit compiles to TakeOrdered (distributed per-partition
+    top-k, no full sort, no separate count scan); the full corpus is
+    only ever touched by the distributed *assignment* pass in
+    ivf_neighbors. Centroid quality needs sample representativeness,
+    not the full corpus: 100k vectors bound the centroid error at any
+    corpus scale."""
     import numpy as np
 
-    n = emb.count()
-    frac_filter = None
-    if n > sample_size:
-        # deterministic 1-in-k systematic sample on the id hash
-        k = (n + sample_size - 1) // sample_size
-        frac_filter = F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)) == 0
-    base = emb.filter(frac_filter) if frac_filter is not None else emb
     rows = (
-        base.select(
+        emb.select(
             F.col(id_col).alias("__id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         )
-        .orderBy("__id")  # stable collect order → deterministic seeds
+        .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+        .limit(sample_size)
         .collect()
     )
+    rows.sort(key=lambda r: r["__id"])  # stable order → deterministic seeds
     mat = np.array([r["__v"] for r in rows], dtype="float64")
     centroids = mat[:n_lists].copy()  # lowest-id seeds, reproducible
     for _ in range(iters):

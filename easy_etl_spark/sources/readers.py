@@ -89,8 +89,14 @@ def high_watermark(target: DataFrame | None, pk_field: str) -> int:
 def incremental_sql_extract(
     spark: SparkSession, sql: str, target: DataFrame | None, pk_field: str
 ) -> DataFrame:
-    """Watermarked delta scan: ``sql.format(max_pk)`` like
-    easy_etl/__init__.py:87. The predicate lands inside the SQL, so
-    Catalyst pushes it down to the parquet scan (partition/row-group
-    pruning at scale)."""
-    return spark.sql(resolve_sql(sql).format(high_watermark(target, pk_field)))
+    """Watermarked delta scan: the ``{}`` placeholder is replaced with
+    MAX(pk) like easy_etl/__init__.py:87. The predicate lands inside
+    the SQL, so Catalyst pushes it down to the parquet scan
+    (partition/row-group pruning at scale).
+
+    Targeted ``str.replace`` rather than ``str.format``: SQL with
+    literal braces (struct/map literals, JSON-path predicates) must
+    pass through untouched, where .format would raise KeyError."""
+    return spark.sql(
+        resolve_sql(sql).replace("{}", str(high_watermark(target, pk_field)))
+    )

@@ -125,8 +125,11 @@ class ParquetSink:
 
     # -- writes -----------------------------------------------------
     def _swap_write(self, df: DataFrame) -> None:
-        """Write to a staging dir then atomically replace the target —
-        needed because the plan may read the same path it replaces."""
+        """Write to a staging dir then swap it in — needed because the
+        plan may read the same path it replaces. The old table is moved
+        aside (rename, atomic) before staging moves in, so a crash at
+        any point leaves either the old or the new table on disk, never
+        neither; the leftover ``.__old`` dir is garbage-collectable."""
         staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
         if self.cluster_by:
             cols = [F.col(c) for c in self.cluster_by]
@@ -135,9 +138,18 @@ class ParquetSink:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.replace(staging, self.path)
+        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        had_target = os.path.exists(self.path)
+        if had_target:
+            os.replace(self.path, old)
+        try:
+            os.replace(staging, self.path)
+        except BaseException:
+            if had_target:
+                os.replace(old, self.path)  # roll the old table back in
+            raise
+        if had_target:
+            shutil.rmtree(old)
 
     def append(self, df: DataFrame, ensure: bool | None = None, safe: bool = False) -> None:
         """Append-insert load (easy_etl/__init__.py:96).

@@ -72,6 +72,37 @@ def test_embedding_dup_pairs(spark):
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.99
 
 
+def test_embedding_dup_pairs_no_driver_collect(spark, monkeypatch):
+    """Scale gate: building the pair plan must not pull the corpus to
+    the driver (round-1 did a full .collect() → 100 TB driver OOM)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **kw):  # pragma: no cover - fails the test if hit
+        raise AssertionError("driver-side materialization during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    df = dedup.embedding_dup_pairs(emb, threshold=0.99)  # lazy build only
+    assert df.schema.simpleString() == "struct<id_a:bigint,id_b:bigint,cosine:double>"
+
+
+def test_embedding_dup_pairs_cross_block(spark):
+    """Pairs spanning different blocks (id % n_blocks differs) and both
+    orientations must each be emitted exactly once, canonicalized."""
+    rows = [(i, [1.0, 0.0]) for i in range(10)]  # all identical → all pairs
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.9, n_blocks=3).collect()
+    )
+    want = sorted((a, b) for a in range(10) for b in range(a + 1, 10))
+    assert got == want
+
+
 def test_brute_force_topk_against_numpy(spark, sf_dir):
     import numpy as np
 
