@@ -63,6 +63,18 @@ class EtlPipeline:
             self._types.update(types)
         return self
 
+    def extract_jdbc(self, url: str, sql: str, **options: Any) -> "EtlPipeline":
+        """Live-RDBMS extract (reference parity: its extracts run
+        against a real MySQL connection, easy_etl/__init__.py:8-25 and
+        tests/conftest.py:19-20). The query executes REMOTELY in the
+        source database — predicates/aggregates inside ``sql`` never
+        ship rows they exclude — and lands as a DataFrame source for
+        the staged plan. ``options`` pass through to the Spark JDBC
+        reader (driver, partitionColumn/lowerBound/upperBound/
+        numPartitions for parallel reads at scale, fetchsize, ...)."""
+        self._extract = lambda: readers.jdbc_extract(self.spark, url, sql, **options)
+        return self
+
     def extract_override(self, f: Callable[[], Any]) -> "EtlPipeline":
         self._extract = lambda: readers.python_source(self.spark, f)
         return self

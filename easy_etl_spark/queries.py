@@ -557,5 +557,6 @@ def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries_more = deeper relational coverage + UDF/facade-in-the-gate
 from . import queries_ext  # noqa: E402,F401
 from . import queries_more  # noqa: E402,F401
+from . import queries_ops  # noqa: E402,F401
 from . import queries_wave3  # noqa: E402,F401
 from . import queries_wave4  # noqa: E402,F401
