@@ -256,3 +256,117 @@ def encode_tokens(
             F.coalesce(F.col("token_id"), F.lit(0)).cast("long").alias("token_id"),
         )
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level unigram language-model score per document — the
+    cheap perplexity proxy production pipelines use for quality
+    filtering (low mean log-prob ⇒ off-distribution text).
+
+    Two passes over the token stream, both embarrassingly parallel:
+    (1) explode → map-side-combined count per token (shuffle ∝ vocab);
+    (2) explode → broadcast-join the frequency table → per-doc mean of
+    ln(count·1.0/total). The frequency table is vocab-sized (bounded
+    by language, not corpus), so the join broadcasts at any SF; the
+    token stream itself is only shuffled once, by doc, for the final
+    per-doc aggregate. ln values are quantized to 1e-6 units before
+    summing (functions/exact.py) so the per-doc mean is accumulation-
+    order independent and oracle-stable.
+    """
+    from ..functions.exact import dec_sum
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(total))
+        .withColumn("__lp", F.log(F.col("c") * F.lit(1.0) / F.col("t")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(dec_sum(F.col("__lp"), scale=6) / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )
+
+
+def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style heuristic quality rules, all integer-derived (no
+    float accumulation → exact and engine-portable): token count
+    bounds, mean token length band, symbol-character budget, stopword
+    presence. One narrow per-row projection, zero shuffles — the same
+    plan at 100 TB.
+
+    Threshold comparisons are written over integers (e.g. 20·symbols ≤
+    chars instead of ratio ≤ 0.05) so the pass/fail booleans cannot
+    straddle a float boundary between engines.
+    """
+    text = F.trim(F.col(text_col))
+    t = F.col("__t")
+    n_tok = F.size(t)
+    n_chars = F.length(text)
+    # single-space corpus: token chars = chars - (n_tok - 1) separators
+    tok_chars = n_chars - (n_tok - 1)
+    symbols = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    stops = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    passes = (
+        (n_tok >= 5)
+        & (n_tok <= 5000)
+        & (tok_chars >= 2 * n_tok)   # mean token length ≥ 2
+        & (tok_chars <= 12 * n_tok)  # mean token length ≤ 12
+        & (20 * symbols <= n_chars)  # symbol ratio ≤ 5%
+    )
+    return docs.withColumn("__t", tokens(text)).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars * F.lit(1.0) / n_tok, 4).alias("mean_tok_len"),
+        F.round(symbols * F.lit(1.0) / n_chars, 4).alias("symbol_ratio"),
+        stops.alias("n_stopwords"),
+        passes.alias("passes_quality"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every k-token shingle, slide a w-window over the hash sequence,
+    keep each window's minimum — the guaranteed-coverage sparse
+    fingerprint set used for plagiarism/near-dup detection at scale.
+
+    md5 is the shingle hash (identical in Spark and DuckDB → oracle-
+    checkable; swap xxhash64 for speed when cross-engine parity isn't
+    needed). The only shuffle is the per-doc window/aggregate, keyed
+    by document — embarrassingly parallel across docs at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    grams = (
+        docs.withColumn("__t", tokens(F.col(text_col)))
+        .withColumn("__n", F.size(F.col("__t")))
+        .select(
+            F.col(id_col),
+            F.col("__n"),
+            F.posexplode(array_ngrams(F.col("__t"), shingle_k)).alias("pos0", "s"),
+        )
+        .withColumn("__h", F.md5(F.col("s")))
+    )
+    n_sh = F.col("__n") - (shingle_k - 1)  # shingle count per doc
+    win = W.partitionBy(id_col).orderBy("pos0").rowsBetween(0, window - 1)
+    fps = (
+        grams.withColumn("__fp", F.min("__h").over(win))
+        # windows start at every position that has w hashes ahead of it
+        # (short docs: the single partial window at pos 0)
+        .filter(F.col("pos0") <= F.greatest(n_sh - window, F.lit(0)))
+        .select(id_col, "__fp")
+        .distinct()
+    )
+    return fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("__fp").alias("min_fp"),
+    )

@@ -102,3 +102,62 @@ def test_resize_template_shrinks_blobs(spark):
     assert out["n_bytes"] == 16 and bytes(out["media"]) == b"aeaeaeaeaeaeaeae"
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(b"\x89PNG", 32, 32)
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a a rare")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.unigram_logprob_scores(docs).collect()}
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+    # doc 2 contains the rare token → strictly lower mean log-prob
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"] < 0.0
+
+
+def test_quality_rules_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog"),  # passes
+            (2, "a b"),                                        # too short + short tokens
+            (3, "@@@@ #### $$$$ %%%% ^^^^ &&&& !!!!"),          # symbol budget blown
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["passes_quality"] for r in textops.quality_rules(docs).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_winnow_fingerprints_coverage(spark):
+    # winnowing guarantee: docs sharing a run of >= w + k - 1 tokens
+    # (here 4 + 3 - 1 = 6) share at least one fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} nine ten eleven twelve"),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    from easy_etl_spark.operators.textops import tokens, array_ngrams
+    from pyspark.sql import Window as W
+
+    fps = (
+        docs.withColumn("__t", tokens(F.col("text")))
+        .withColumn("__n", F.size("__t"))
+        .select("doc_id", "__n", F.posexplode(array_ngrams(F.col("__t"), 3)).alias("pos0", "s"))
+        .withColumn("__h", F.md5("s"))
+        .withColumn("__fp", F.min("__h").over(W.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, 3)))
+        .filter(F.col("pos0") <= F.greatest(F.col("__n") - 2 - 4, F.lit(0)))
+        .select("doc_id", "__fp")
+        .distinct()
+        .collect()
+    )
+    sets = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["__fp"])
+    assert sets[1] & sets[2], "shared 6-token run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    # per-doc stats operator agrees with the set sizes
+    out = {r["doc_id"]: r["n_fingerprints"] for r in textops.winnow_fingerprints(docs).collect()}
+    assert out == {d: len(s) for d, s in sets.items()}
