@@ -80,6 +80,49 @@ def load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_formats_roundtrip",
+    """
+    SELECT 'csv' AS fmt, count(*) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           count(DISTINCT n_name) AS n_names
+    FROM nation
+    UNION ALL
+    SELECT 'json', count(*), CAST(sum(n_nationkey) AS BIGINT), count(DISTINCT n_name)
+    FROM nation
+    UNION ALL
+    SELECT 'orc', count(*), CAST(sum(n_nationkey) AS BIGINT), count(DISTINCT n_name)
+    FROM nation
+    """,
+)
+def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth: nation is written to csv/json/orc and
+    read back through readers.file_scan (format dispatch + csv header/
+    inferSchema defaults). The per-format checksums must match the
+    parquet source — proving each format path round-trips values, not
+    just schemas. Beyond the reference (live-DB only); these are the
+    file formats a lake deployment actually ingests."""
+    from .sources.readers import file_scan
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = None
+    base = tempfile.mkdtemp(prefix="easy_etl_formats_")
+    for fmt in ("csv", "json", "orc"):
+        path = f"{base}/{fmt}"
+        writer = n.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(path)
+        back = file_scan(spark, path, fmt)
+        row = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            F.countDistinct("n_name").alias("n_names"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "key_sum", "n_names")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
     "pipeline_reset_reuse",
     """
     SELECT (SELECT count(*) FROM customer) AS n_first,
