@@ -424,27 +424,70 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv
 
 
+def _pct_sql(q: float) -> str:
+    """DuckDB spelling of the portable interpolated percentile over the
+    ranked CTE `r(v, rn, n)`: floor/ceil neighbors of (n-1)·q, linear
+    interpolation, floor-quantized to cents (identical IEEE ops to the
+    Spark twin `_pct_col` — see percentiles_exact docstring)."""
+    lo = f"CAST(floor((n - 1) * {q}) AS BIGINT) + 1"
+    lo_v = f"max(CASE WHEN rn = {lo} THEN v END)"
+    hi_v = f"max(CASE WHEN rn = least({lo} + 1, n) THEN v END)"
+    frac = f"((max(n) - 1) * {q} - floor((max(n) - 1) * {q}))"
+    return f"floor(({lo_v} + ({hi_v} - {lo_v}) * {frac}) * 100.0 + 0.5) / 100.0"
+
+
+def _pct_col(q: float):
+    """Spark twin of `_pct_sql` (same arithmetic, same order)."""
+    lo = F.floor((F.col("n") - 1) * q).cast("bigint") + 1
+    lo_v = F.max(F.when(F.col("rn") == lo, F.col("v")))
+    hi_v = F.max(F.when(F.col("rn") == F.least(lo + 1, F.col("n")), F.col("v")))
+    frac = (F.max("n") - 1) * q - F.floor((F.max("n") - 1) * q)
+    return F.floor((lo_v + (hi_v - lo_v) * frac) * 100.0 + 0.5) / 100.0
+
+
 @register(
     "percentiles_exact",
-    """
+    f"""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
-    FROM lineitem
+           {_pct_sql(0.5)} AS p50,
+           {_pct_sql(0.95)} AS p95,
+           {_pct_sql(0.99)} AS p99
+    FROM r
     GROUP BY l_returnflag
     """,
 )
 def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont`). The approximate path for 100 TB is
-    `approx_percentile` (t-digest, mergeable, one pass) — exact is the
-    oracle-checkable twin."""
+    """Exact linear-interpolated percentiles per group, computed with
+    an explicitly engine-portable formula: rank each value, pick the
+    floor/ceil neighbors of (n-1)·q, interpolate, quantize via
+    floor(x·100 + 0.5). Spark's `percentile` and DuckDB's
+    `quantile_cont` implement the same definition but differ in the
+    last ulp of the interpolation arithmetic — and p50 midpoints of
+    2-decimal prices sit exactly ON .xx5 rounding boundaries, so the
+    builtin pair flips digits between engines (caught at sf0.001).
+    The approximate path for 100 TB is `approx_percentile` (t-digest,
+    mergeable, one pass) — this exact twin is the oracle-checkable one.
+    """
+    from pyspark.sql import Window as W
+
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+    w = W.partitionBy("l_returnflag")
+    r = l.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w.orderBy("l_extendedprice")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        _pct_col(0.5).alias("p50"),
+        _pct_col(0.95).alias("p95"),
+        _pct_col(0.99).alias("p99"),
     )
 
 
