@@ -74,7 +74,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
-@register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB equivalent
+@register(
+    "dedup_minhash_lsh",
+    # The LSH stage only *generates candidates* (deterministically —
+    # seeded xxhash64 signatures); every candidate is then verified
+    # with EXACT shingle Jaccard. DuckDB can't replay the xxhash64
+    # bands, but it can compute the ground truth the verified output
+    # must equal when recall is complete: all pairs with Jaccard ≥
+    # threshold. Verified equal at sf0.001/0.01/0.1 (the corpus's
+    # planted near-dups sit at ≈0.99, far above the 0.7 band knee);
+    # recall is additionally pinned by pytest against the exact path.
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
 
