@@ -61,7 +61,10 @@ def with_surrogate_id(
                 f"the partition-offset id scheme for fact tables"
             )
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    w = Window.orderBy(*[F.col(c) for c in cols])
+    # partitionBy(lit(0)) is the same single-partition execution the
+    # total order requires, but states it intentionally — no
+    # "No Partition Defined" WindowExec warning storm in bench logs.
+    w = Window.partitionBy(F.lit(0)).orderBy(*[F.col(c) for c in cols])
     return dim.withColumn(id_col, F.row_number().over(w))
 
 

@@ -161,5 +161,8 @@ def interval_join_stream(
         "user_id",
         "left_id",
         "right_id",
-        (F.unix_micros("rts") - F.unix_micros("lts")).alias("gap_us"),
+        # NTZ-tolerant (see windows.interval_pairs): unix_micros is
+        # LTZ-only; the cast is a no-op for LTZ inputs.
+        (F.unix_micros(F.col("rts").cast("timestamp"))
+         - F.unix_micros(F.col("lts").cast("timestamp"))).alias("gap_us"),
     )

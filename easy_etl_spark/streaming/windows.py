@@ -140,7 +140,13 @@ def interval_pairs(
             "user_id",
             "left_id",
             "right_id",
-            (F.unix_micros("__rts") - F.unix_micros("__lts")).alias("gap_us"),
+            # cast("timestamp") tolerates TIMESTAMP_NTZ inputs (the
+            # driver testdata stores naive-UTC micros, which Spark 4
+            # reads as NTZ); under the UTC session it is a no-op for
+            # LTZ and a same-wall-time promotion for NTZ. unix_micros
+            # itself is LTZ-only and would fail analysis on NTZ.
+            (F.unix_micros(F.col("__rts").cast("timestamp"))
+             - F.unix_micros(F.col("__lts").cast("timestamp"))).alias("gap_us"),
         )
     )
 
