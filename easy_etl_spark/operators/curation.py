@@ -18,7 +18,7 @@ dedup.minhash_lsh_pairs — same downstream contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import dedup_exact, dedup_survivors, duplicate_clusters, minhash_lsh_pairs, ngram_jaccard_pairs
@@ -52,6 +52,46 @@ def curate_corpus(
     clusters = duplicate_clusters(pairs)
     clean = dedup_survivors(g2, clusters, id_col)
     return clean.select(id_col, "quality")
+
+
+def cap_sources_by_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mix construction: cap every source (domain/crawl/feed)
+    at a token budget, keeping its longest documents first. Returns the
+    kept rows with ``n_tok`` (doc token count) and ``cum_tok`` (running
+    source total including the doc).
+
+    Docs are ranked inside each source by token count descending
+    (doc_id ascending tie-break — fully integer-exact, so the kept set
+    is identical on any engine; a production mix would rank by a model
+    quality score instead, same shape). The only shuffle is the
+    per-source window — parallelism tracks the source dimension, and a
+    single pathological source is the same straggler an aggregation
+    over it would be (salt by a hash band if one source dominates).
+    """
+    from .textops import token_count
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("__n_tok").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("__n_tok", token_count(F.col(text_col)).cast("bigint"))
+        .withColumn("__cum", F.sum("__n_tok").over(w))
+        .filter(F.col("__cum") <= budget_tokens)
+        .select(
+            source_col,
+            id_col,
+            F.col("__n_tok").alias("n_tok"),
+            F.col("__cum").alias("cum_tok"),
+        )
+    )
 
 
 def decontaminate(

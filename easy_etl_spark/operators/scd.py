@@ -1,0 +1,118 @@
+"""Slowly-changing-dimension (SCD Type 2) history maintenance.
+
+The reference is a Kimball star-schema ETL tool (easy_etl/README.md:5,
+98, 145): its upsert load (easy_etl/__init__.py:89-94) is SCD Type 1 —
+overwrite in place, history lost. Type 2 is the standard next step a
+dimension-building deployment needs: every attribute change closes the
+old row (valid_to stamped) and opens a new one, so facts can join to
+the dimension *as of* their event time (operators/links.asof_link).
+
+Scale design: one full-outer shuffle join between the open slice of
+the history and the incoming snapshot, keyed by the natural key —
+AQE broadcasts the snapshot when it is delta-sized and splits skewed
+keys otherwise. Change detection is a null-safe comparison on the
+tracked columns (no row-at-a-time Python). Closed history rows are
+never rewritten (at 100 TB the closed slice dwarfs the open slice, so
+a partition-on-is_current layout makes the merge touch only the open
+partition).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: SCD2 bookkeeping columns added to the dimension's natural schema.
+META_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_init(snapshot: DataFrame, ts: str) -> DataFrame:
+    """Bootstrap a type-2 history from the first snapshot: every row
+    open from ``ts`` (an ISO timestamp string) with no end."""
+    return (
+        snapshot.withColumn("valid_from", F.lit(ts).cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+
+
+def _same(cols: list[str]) -> F.Column:
+    """Null-safe 'all tracked columns equal' predicate between the
+    history (h) and snapshot (s) sides of the merge join."""
+    return reduce(
+        lambda acc, c: acc & F.col(f"h.{c}").eqNullSafe(F.col(f"s.{c}")),
+        cols[1:],
+        F.col(f"h.{cols[0]}").eqNullSafe(F.col(f"s.{cols[0]}")),
+    )
+
+
+def scd2_merge(
+    history: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    ts: str,
+    full_snapshot: bool = False,
+) -> DataFrame:
+    """Merge ``snapshot`` (natural key + tracked attributes, valid as
+    of ``ts``) into a type-2 ``history``:
+
+      - changed key  → open row closed (valid_to = ts), new open row;
+      - new key      → new open row;
+      - unchanged    → untouched;
+      - key absent from the snapshot → untouched (delta semantics), or
+        closed with no successor when ``full_snapshot=True`` (the
+        snapshot is the complete dimension, so absence means deletion).
+
+    Pure DataFrame algebra: closed rows pass through untouched; the
+    open slice joins the snapshot once (full outer on the natural key).
+    """
+    dim_cols = [c for c in history.columns if c not in META_COLS]
+    snap = snapshot.select(*dim_cols)
+    closed = history.filter(~F.col("is_current"))
+    open_ = history.filter(F.col("is_current"))
+
+    j = open_.alias("h").join(
+        snap.alias("s"), [F.col(f"h.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], "full_outer"
+    )
+    in_hist = F.col(f"h.{keys[0]}").isNotNull()
+    in_snap = F.col(f"s.{keys[0]}").isNotNull()
+    changed = in_hist & in_snap & ~_same(tracked)
+
+    h_side = [F.col(f"h.{c}").alias(c) for c in dim_cols]
+    s_side = [F.col(f"s.{c}").alias(c) for c in dim_cols]
+    ts_lit = F.lit(ts).cast("timestamp")
+
+    # open rows that stay open: unchanged matches + (delta mode) absents
+    keep_open_pred = (in_hist & in_snap & ~changed) | (
+        in_hist & ~in_snap & F.lit(not full_snapshot)
+    )
+    keep_open = j.filter(keep_open_pred).select(
+        *h_side, F.col("h.valid_from").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"), F.lit(True).alias("is_current"),
+    )
+    # rows to close: changed + (full-snapshot mode) deleted keys
+    close_pred = changed | (in_hist & ~in_snap & F.lit(full_snapshot))
+    closes = j.filter(close_pred).select(
+        *h_side, F.col("h.valid_from").alias("valid_from"),
+        ts_lit.alias("valid_to"), F.lit(False).alias("is_current"),
+    )
+    # new open rows: changed keys' successors + brand-new keys
+    opens = j.filter(changed | (~in_hist & in_snap)).select(
+        *s_side, ts_lit.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"), F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(keep_open).unionByName(closes).unionByName(opens)
+
+
+def scd2_asof(history: DataFrame, ts: str) -> DataFrame:
+    """Point-in-time view: the dimension exactly as it looked at ``ts``
+    (the query every fact backfill runs against a type-2 dimension).
+    A pure filter — partition pruning on valid_from/valid_to at scale.
+    """
+    t = F.lit(ts).cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= t) & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop(*META_COLS)

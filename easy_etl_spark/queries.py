@@ -561,3 +561,4 @@ from . import queries_ops  # noqa: E402,F401
 from . import queries_wave3  # noqa: E402,F401
 from . import queries_wave4  # noqa: E402,F401
 from . import queries_wave5  # noqa: E402,F401
+from . import queries_wave6  # noqa: E402,F401

@@ -1,0 +1,162 @@
+"""Sixth wave: SCD Type-2 dimension history, token-budget source
+capping, and a driver-visible skew-salted join.
+
+  - scd2_history / scd2_asof_view: the Kimball type-2 pattern the
+    reference's star-schema domain implies (its upsert is type 1 —
+    overwrite, history lost; easy_etl/__init__.py:89-94). The merge is
+    one full-outer join on the natural key (operators/scd.py).
+  - source_token_budget: training-mix construction — cap each document
+    source at a token budget, longest docs first (integer-exact
+    ordering so the kept set is engine-portable).
+  - skew_salted_join: operators/scale.salted_join surfaced as an
+    oracle-checked query — result must equal the plain join, proving
+    salt replication neither drops nor duplicates rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.exact import dec_sum, sql_sum
+from .operators import scd
+from .operators.curation import cap_sources_by_budget
+from .operators.scale import salted_join
+from .queries import register
+from .session import load_table
+
+_T1, _T2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+
+def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-snapshot type-2 history over customer:
+    snapshot 1 = the table as-is; snapshot 2 bumps acctbal by +100 for
+    custkey % 3 == 0 (change), drops custkey % 7 == 0 (delete under
+    full_snapshot), and re-keys nothing (no inserts — the oracle stays
+    a pure customer-table expression)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    hist = scd.scd2_init(c, _T1)
+    snap2 = c.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    return scd.scd2_merge(
+        hist, snap2, keys=["c_custkey"], tracked=["c_acctbal"], ts=_T2, full_snapshot=True
+    )
+
+
+@register(
+    "scd2_history",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, c_acctbal,
+             (c_custkey % 3 = 0 AND c_custkey % 7 <> 0) AS changed,
+             (c_custkey % 7 = 0) AS deleted
+      FROM customer
+    )
+    SELECT count(*) + count(*) FILTER (WHERE changed) AS n_rows,
+           count(*) FILTER (WHERE NOT deleted) AS n_current,
+           count(*) FILTER (WHERE changed OR deleted) AS n_closed,
+           {sql_sum("CASE WHEN changed THEN c_acctbal + 100 WHEN deleted THEN NULL ELSE c_acctbal END")} AS cur_acctbal
+    FROM c
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 merge invariants after a change+delete snapshot: row
+    counts per state and the open slice's acctbal total (which must
+    reflect the +100 updates and exclude deletions)."""
+    h = _history(spark, sf_dir)
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("is_current"), 1)).alias("n_current"),
+        F.count(F.when(~F.col("is_current"), 1)).alias("n_closed"),
+        dec_sum(F.when(F.col("is_current"), F.col("c_acctbal"))).alias("cur_acctbal"),
+    )
+
+
+@register(
+    "scd2_asof_view",
+    f"""
+    SELECT count(*) AS n_dim_rows,
+           {sql_sum("c_acctbal")} AS acctbal_asof
+    FROM customer
+    """,
+)
+def scd2_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension view: as of a timestamp between the two
+    snapshots, the history must read back exactly like snapshot 1 —
+    every key present, original acctbal values."""
+    h = _history(spark, sf_dir)
+    asof = scd.scd2_asof(h, "2024-01-15 00:00:00")
+    return asof.agg(
+        F.count(F.lit(1)).alias("n_dim_rows"),
+        dec_sum("c_acctbal").alias("acctbal_asof"),
+    )
+
+
+@register(
+    "source_token_budget",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source,
+           count(*) AS n_docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+           CAST(max(cum) AS BIGINT) AS max_cum
+    FROM c WHERE cum <= 20000
+    GROUP BY source
+    """,
+)
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 20k tokens, longest docs first
+    (curation.cap_sources_by_budget), aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cap_sources_by_budget(docs, budget_tokens=20_000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+        F.max("cum_tok").alias("max_cum"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    f"""
+    SELECT s_name,
+           count(*) AS n_items,
+           {sql_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY s_name
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join (operators/scale.salted_join): the
+    lineitem fan-out across 16 salt replicas of supplier must aggregate
+    to exactly the plain-join totals — the oracle IS the plain join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(li, sup, key="s_suppkey", salt=16)
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("s_name")
+    )
