@@ -139,3 +139,28 @@ def test_knn_filtered_pushes_metadata_predicate(spark, sf_dir):
     f = _facts(spark, sf_dir, "knn_filtered")
     assert any("label" in p and "EqualTo" in p for p in f.pushed_filters), f.pushed_filters
     assert f.broadcast_joins >= 1 and f.sort_merge_joins == 0
+
+
+def test_source_token_budget_window_partitioned_by_source(spark, sf_dir):
+    # the budget cumsum must be per-source — a global window would
+    # serialize the whole corpus through one task
+    f = _facts(spark, sf_dir, "source_token_budget")
+    for line in f.text.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "source" in line, line
+
+
+def test_scd2_merge_no_cartesian(spark, sf_dir):
+    # the type-2 merge is one keyed full-outer join: never a cartesian,
+    # and every exchange hashes on the natural key
+    f = _facts(spark, sf_dir, "scd2_history")
+    assert f.cartesian == 0
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_salted_join_no_skew_single_key(spark, sf_dir):
+    # the salted join must join on (key, salt) — the salt column has to
+    # survive into the join condition, not be optimized away
+    f = _facts(spark, sf_dir, "skew_salted_join")
+    assert f.cartesian == 0
+    assert "__salt" in f.text, "salt column missing from the physical plan"
