@@ -133,6 +133,29 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_dedup",
+    f"""
+    SELECT count(*) AS n_events,
+           {sql_sum("value")} AS sum_value
+    FROM events
+    """,
+)
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/jobs.dedup_stream (at-least-once
+    delivery hygiene): the events table unioned with itself — every
+    event delivered twice — must dedup back to exactly the source
+    totals. dropDuplicates on the event key is one hash shuffle keyed
+    by event_id (uniform), the canonical scale shape."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    delivered_twice = e.unionByName(e)
+    dd = delivered_twice.dropDuplicates(["event_id"])
+    return dd.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+@register(
     "skew_salted_join",
     f"""
     SELECT s_name,

@@ -138,6 +138,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, NOT `/`: float division casts the ns long to
         # double (> 2^53) and loses up to ~256 ns before flooring
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Naive-UTC micro timestamps (current driver testdata) arrive as
+    # TIMESTAMP_NTZ, which streaming watermarks and LTZ-only functions
+    # (unix_micros, to_utc_timestamp) reject. Promote to TIMESTAMP —
+    # under the UTC session above this keeps the wall time bit-exact,
+    # so formatted outputs still hash-match the (naive) DuckDB oracle.
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -26,9 +26,10 @@ def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame
     """File-based stream over an events parquet directory. On a real
     deployment this is the Kafka/file-drop source; schema must be
     explicit for streaming reads."""
-    # pin the nanosecond-parquet conf so this works under any caller's
-    # session, not just get_spark()'s (same rationale as load_table)
+    # pin the nanosecond-parquet conf and UTC so this works under any
+    # caller's session, not just get_spark()'s (same as load_table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:
         static = spark.read.parquet(path)
         schema = static.schema
@@ -37,6 +38,10 @@ def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame
     if dict(df.dtypes).get("ts") == "bigint":
         # integer `div` (float division would round the >2^53 ns long)
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # naive-UTC micros (current testdata): watermarks require LTZ;
+        # cast keeps the wall time under the UTC session
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
