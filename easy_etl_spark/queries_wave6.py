@@ -156,6 +156,36 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lexical_search_topk",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           count(*) AS n_terms_matched
+    FROM tf WHERE term IN ('vector', 'hash', 'merge')
+    GROUP BY doc_id
+    ORDER BY total_tf DESC, n_terms_matched DESC, doc_id
+    LIMIT 10
+    """,
+)
+def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index lexical search (operators/search.lexical_topk):
+    integer-exact query-term-frequency ranking with a total-order
+    tie-break. The float-BM25 twin (search.bm25_topk) is pytest-pinned
+    against a driver-side reference; this spelling is the
+    cross-engine-hashable one."""
+    from .operators.search import lexical_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_topk(docs, ["vector", "hash", "merge"], k=10)
+
+
+@register(
     "skew_salted_join",
     f"""
     SELECT s_name,
