@@ -350,7 +350,7 @@ def embedding_dup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact pairwise cosine near-dup over embeddings as a DISTRIBUTED
     block-matrix similarity join: vectors are packed into `n_blocks`
@@ -366,8 +366,18 @@ def embedding_dup_pairs(
     similarity.lsh_bucketed_neighbors / minhash bands and verify only
     those pairs — this operator is the exact path and the per-bucket
     verifier.
+
+    ``n_blocks=None`` (default) sizes blocks adaptively at ~4096
+    vectors each (one cheap 1-column count job): a dim-sized corpus
+    collapses to a handful of matmul tasks instead of paying 100+
+    task launches, while task count still grows with the corpus.
     """
+    import math
+
     import numpy as np
+
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(emb.count() / 4096))
 
     v = emb.select(
         F.col(id_col).alias("__id"),
