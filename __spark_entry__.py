@@ -77,6 +77,9 @@ _PRIORITY = [
     "source_token_budget",
     # multimodal
     "multimodal_features",
+    # time-series regularization & entity resolution
+    "events_resample_fill",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -133,6 +133,66 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_resample_fill",
+    f"""
+    WITH hourly AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h,
+             count(*) AS n_events, {sql_sum("value")} AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    grid AS (
+      SELECT k, h
+      FROM (SELECT DISTINCT event_type AS k FROM events), hours
+    ),
+    j AS (
+      SELECT g.k, g.h, coalesce(hourly.n_events, 0) AS n_events, hourly.sv
+      FROM grid g LEFT JOIN hourly ON g.k = hourly.k AND g.h = hourly.h
+    )
+    SELECT k AS event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           n_events,
+           coalesce(sv, 0.0) AS sum_value,
+           last_value(sv IGNORE NULLS)
+             OVER (PARTITION BY k ORDER BY h ROWS UNBOUNDED PRECEDING) AS locf_value
+    FROM j
+    """,
+)
+def events_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with dense grid, zero-fill, and LOCF forward
+    fill (operators/timeseries.resample_fill) — the gap-filling /
+    continuous-aggregate shape time-series stores provide."""
+    from .operators.timeseries import resample_fill
+
+    return resample_fill(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.s_name AS name_a, b.s_name AS name_b,
+           levenshtein(a.s_name, b.s_name) AS dist
+    FROM supplier a, supplier b
+    WHERE a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 entity pairs via deletion-neighborhood blocking
+    (operators/fuzzy.fuzzy_self_pairs). The oracle is the O(n²)
+    levenshtein cross join — the blocked path must find exactly the
+    same pairs without ever materializing n²."""
+    from .operators.fuzzy import fuzzy_self_pairs
+
+    return fuzzy_self_pairs(load_table(spark, sf_dir, "supplier"), "s_name")
+
+
+@register(
     "events_dedup",
     f"""
     SELECT count(*) AS n_events,
