@@ -77,9 +77,10 @@ _PRIORITY = [
     "source_token_budget",
     # multimodal
     "multimodal_features",
-    # time-series regularization & entity resolution
+    # time-series regularization, entity resolution, CDC
     "events_resample_fill",
     "fuzzy_name_pairs",
+    "snapshot_diff_orders",
 ]
 
 

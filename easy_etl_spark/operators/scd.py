@@ -107,6 +107,39 @@ def scd2_merge(
     return closed.unionByName(keep_open).unionByName(closes).unionByName(opens)
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare: list[str] | None = None
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one full-outer
+    join on the natural key classifying every key as ``inserted``
+    (only in new), ``deleted`` (only in old), ``changed`` (present in
+    both, any compared column differs, null-safe), or ``unchanged``.
+
+    Returns the key columns plus ``diff_status``. The feed for an
+    incremental load when the source can't produce a changelog itself:
+    apply inserted+changed via upsert, deleted via anti-join (or a
+    type-2 close, scd2_merge). Same scale shape as the SCD2 merge —
+    one keyed shuffle join, AQE broadcasts delta-sized snapshots.
+    """
+    if compare is None:
+        compare = [c for c in old.columns if c in set(new.columns) and c not in keys]
+    o = old.select(*keys, *compare)
+    n = new.select(*keys, *compare)
+    j = o.alias("h").join(
+        n.alias("s"), [F.col(f"h.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], "full_outer"
+    )
+    in_old = F.col(f"h.{keys[0]}").isNotNull()
+    in_new = F.col(f"s.{keys[0]}").isNotNull()
+    status = (
+        F.when(~in_old, F.lit("inserted"))
+        .when(~in_new, F.lit("deleted"))
+        .when(~_same(compare), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    key_cols = [F.coalesce(F.col(f"h.{k}"), F.col(f"s.{k}")).alias(k) for k in keys]
+    return j.select(*key_cols, status.alias("diff_status"))
+
+
 def scd2_asof(history: DataFrame, ts: str) -> DataFrame:
     """Point-in-time view: the dimension exactly as it looked at ``ts``
     (the query every fact backfill runs against a type-2 dimension).

@@ -99,6 +99,51 @@ def scd2_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff_orders",
+    """
+    WITH c AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'deleted'
+                  WHEN o_orderkey % 5 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS diff_status
+      FROM orders
+    )
+    SELECT diff_status, count(*) AS n
+    FROM (
+      SELECT diff_status FROM c
+      UNION ALL
+      SELECT 'inserted' FROM orders WHERE o_orderkey % 17 = 0
+    )
+    GROUP BY diff_status ORDER BY diff_status
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/scd.snapshot_diff): the new
+    snapshot deterministically deletes %13 keys, reprices %5 keys, and
+    inserts re-keyed %17 rows; the per-status counts must match the
+    rule applied directly to the source table."""
+    from .operators.scd import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100_000_000
+            )
+        )
+    )
+    d = snapshot_diff(o, new, keys=["o_orderkey"])
+    return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n")).orderBy("diff_status")
+
+
+@register(
     "source_token_budget",
     """
     WITH t AS (

@@ -100,3 +100,22 @@ def test_cap_ties_break_by_doc_id(spark):
     )
     kept = cap_sources_by_budget(docs, budget_tokens=6)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_snapshot_diff_statuses(spark):
+    from easy_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k bigint, attr string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], "k bigint, attr string"
+    )
+    got = {r.k: r.diff_status for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL == NULL under null-safe compare
+        4: "deleted",
+        5: "inserted",
+    }
