@@ -25,6 +25,11 @@ CASES = [
     "events_tumbling",
     "events_rollup_reuse",
     "running_total",
+    # wave-6 float aggregates
+    "scd2_history",
+    "skew_salted_join",
+    "events_resample_fill",
+    "events_dedup",
 ]
 
 
