@@ -77,10 +77,11 @@ _PRIORITY = [
     "source_token_budget",
     # multimodal
     "multimodal_features",
-    # time-series regularization, entity resolution, CDC
+    # time-series regularization, entity resolution, CDC, exact stats
     "events_resample_fill",
     "fuzzy_name_pairs",
     "snapshot_diff_orders",
+    "corr_stats",
 ]
 
 

@@ -1,13 +1,24 @@
-"""Sixth wave: SCD Type-2 dimension history, token-budget source
-capping, and a driver-visible skew-salted join.
+"""Sixth wave: warehouse-maintenance, training-mix, search, and
+time-series operators, each DuckDB-oracle-checked.
 
   - scd2_history / scd2_asof_view: the Kimball type-2 pattern the
     reference's star-schema domain implies (its upsert is type 1 —
     overwrite, history lost; easy_etl/__init__.py:89-94). The merge is
     one full-outer join on the natural key (operators/scd.py).
+  - snapshot_diff_orders: CDC table diff (operators/scd.snapshot_diff).
   - source_token_budget: training-mix construction — cap each document
     source at a token budget, longest docs first (integer-exact
     ordering so the kept set is engine-portable).
+  - lexical_search_topk: inverted-index lexical search
+    (operators/search.py; float BM25 twin pytest-pinned).
+  - events_resample_fill: dense-grid hourly resample with zero-fill
+    and LOCF (operators/timeseries.py).
+  - events_dedup: at-least-once delivery dedup, batch twin of
+    streaming/jobs.dedup_stream.
+  - fuzzy_name_pairs: edit-distance-1 entity matching via
+    deletion-neighborhood blocking (operators/fuzzy.py).
+  - corr_stats: exact (decimal co-moment) Pearson correlation —
+    order-independent where the built-in corr() is not.
   - skew_salted_join: operators/scale.salted_join surfaced as an
     oracle-checked query — result must equal the plain join, proving
     salt replication neither drops nor duplicates rows.
@@ -235,6 +246,65 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.fuzzy import fuzzy_self_pairs
 
     return fuzzy_self_pairs(load_table(spark, sf_dir, "supplier"), "s_name")
+
+
+@register(
+    "corr_stats",
+    """
+    WITH q AS (
+      SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qx,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS qy
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(qx AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(qy AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(qx * qx AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(qy * qy AS HUGEINT)) AS DOUBLE) AS syy,
+             CAST(sum(CAST(qx * qy AS HUGEINT)) AS DOUBLE) AS sxy
+      FROM q
+    )
+    SELECT n AS n_rows,
+           round(sx / n / 100.0, 4) AS mean_qty,
+           round(sy / n / 100.0, 4) AS mean_price,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent Pearson correlation + means: co-moment sums
+    accumulate as exact decimal(38,0) integers (built-in corr()
+    accumulates doubles in partition order — nondeterministic at the
+    4th decimal across AQE re-plans), then ONE double conversion per
+    sum feeds an identical closed-form expression in both engines, so
+    the result is bit-stable under any partitioning AND engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qx = F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("bigint")
+    qy = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+    q = li.select(qx.alias("qx"), qy.alias("qy"))
+    dec = "decimal(38,0)"
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qx").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("qy").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("qx") * F.col("qx")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("qy") * F.col("qy")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("qx") * F.col("qy")).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return s.select(
+        n.alias("n_rows"),
+        F.round(sx / n / 100.0, 4).alias("mean_qty"),
+        F.round(sy / n / 100.0, 4).alias("mean_price"),
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / (F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
 
 
 @register(

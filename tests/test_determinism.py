@@ -30,6 +30,7 @@ CASES = [
     "skew_salted_join",
     "events_resample_fill",
     "events_dedup",
+    "corr_stats",
 ]
 
 
