@@ -82,6 +82,9 @@ _PRIORITY = [
     "fuzzy_name_pairs",
     "snapshot_diff_orders",
     "corr_stats",
+    # behavioral analytics
+    "events_funnel",
+    "cohort_retention",
 ]
 
 

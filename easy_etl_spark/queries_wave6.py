@@ -19,6 +19,9 @@ time-series operators, each DuckDB-oracle-checked.
     deletion-neighborhood blocking (operators/fuzzy.py).
   - corr_stats: exact (decimal co-moment) Pearson correlation —
     order-independent where the built-in corr() is not.
+  - events_funnel / cohort_retention: behavioral analytics — ordered
+    conversion funnel (conditional min aggregates, no self-joins) and
+    the first-seen-day cohort retention matrix.
   - skew_salted_join: operators/scale.salted_join surfaced as an
     oracle-checked query — result must equal the plain join, proving
     salt replication neither drops nor duplicates rows.
@@ -358,6 +361,91 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lexical_topk(docs, ["vector", "hash", "merge"], k=10)
+
+
+@register(
+    "events_funnel",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS n_view,
+           count(*) FILTER (WHERE t_view < t_click) AS n_view_click,
+           count(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase)
+             AS n_view_click_purchase
+    FROM u
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase by first
+    occurrence per user): one groupBy with conditional min aggregates —
+    no self-joins, no windows, one shuffle keyed by user. NULL
+    first-occurrence times fail the < comparisons, so drop-offs fall
+    out of the boolean algebra for free."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    u = e.groupBy("user_id").agg(first_ts("view"), first_ts("click"), first_ts("purchase"))
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_day AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
+           count(*) AS n_active
+    FROM first_day JOIN activity USING (user_id)
+    WHERE date_diff('day', cohort_day, active_day) <= 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, active
+    user counts per day offset (first week). Two aggregations plus one
+    user-keyed join — the cohort frame is |users|-sized and co-keyed
+    with the activity frame, so the join shuffles on user_id only."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_day = e.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = e.select("user_id", day.alias("active_day")).distinct()
+    j = first_day.join(activity, "user_id")
+    off = F.datediff(F.col("active_day"), F.col("cohort_day")).cast("bigint")
+    return (
+        j.select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            off.alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort", "day_offset")
+    )
 
 
 @register(
