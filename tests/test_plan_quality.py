@@ -164,3 +164,27 @@ def test_salted_join_no_skew_single_key(spark, sf_dir):
     f = _facts(spark, sf_dir, "skew_salted_join")
     assert f.cartesian == 0
     assert "__salt" in f.text, "salt column missing from the physical plan"
+
+
+def test_fuzzy_pairs_blocked_join_no_cartesian(spark, sf_dir):
+    # deletion-neighborhood blocking must produce an equi-join on the
+    # block key — a cartesian/BNLJ here means the blocking collapsed
+    f = _facts(spark, sf_dir, "fuzzy_name_pairs")
+    assert f.cartesian == 0
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_funnel_single_aggregation_no_joins(spark, sf_dir):
+    # the funnel is conditional aggregation — any join or window in the
+    # plan means it regressed to self-join funnel matching
+    f = _facts(spark, sf_dir, "events_funnel")
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0 and f.cartesian == 0
+    assert "Window" not in f.text
+
+
+def test_resample_grid_is_broadcast(spark, sf_dir):
+    # the dense hour x key grid is tiny and must broadcast onto the
+    # hourly aggregate, never shuffle it
+    f = _facts(spark, sf_dir, "events_resample_fill")
+    assert f.cartesian == 0
+    assert f.sort_merge_joins == 0, "grid join degraded to sort-merge"
