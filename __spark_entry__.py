@@ -82,9 +82,10 @@ _PRIORITY = [
     "fuzzy_name_pairs",
     "snapshot_diff_orders",
     "corr_stats",
-    # behavioral analytics
+    # behavioral analytics, incremental view maintenance
     "events_funnel",
     "cohort_retention",
+    "incremental_agg_maintenance",
 ]
 
 

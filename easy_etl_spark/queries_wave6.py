@@ -364,6 +364,54 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_agg_maintenance",
+    f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {sql_sum("value")} AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a stored per-type
+    aggregate built from the first half of the stream is merged with
+    the delta batch's partial aggregate (count-sum merge via keyed
+    upsert into a ParquetSink) and must read back equal to the full
+    recompute — the mergeable-partial property that lets a 100 TB
+    rollup absorb each new partition without re-scanning history.
+    """
+    import tempfile
+
+    from .functions.exact import dec_sum as _ds
+    from .sources.sinks import ParquetSink
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"), _ds("value").alias("sum_value")
+        )
+
+    sink = ParquetSink(spark, tempfile.mkdtemp(prefix="easy_etl_ivm_") + "/t")
+    sink.append(agg(e.filter(F.col("ts") < cutoff)))
+    stored = sink.read().select("event_type", "n_events", "sum_value")
+    delta = agg(e.filter(F.col("ts") >= cutoff))
+    merged = (
+        stored.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            # sums of already-quantized decimals: plain sum re-merges
+            # exactly (the quantization happened once per raw row)
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
+    sink.upsert(merged, keys=["event_type"])
+    return sink.read().select("event_type", "n_events", "sum_value").orderBy("event_type")
+
+
+@register(
     "events_funnel",
     """
     WITH u AS (
