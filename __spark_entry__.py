@@ -86,6 +86,7 @@ _PRIORITY = [
     "events_funnel",
     "cohort_retention",
     "incremental_agg_maintenance",
+    "embedding_quantize_error",
 ]
 
 

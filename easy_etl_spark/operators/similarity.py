@@ -244,3 +244,30 @@ def lsh_bucketed_neighbors(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 quantization (min/max affine codes) — the
+    standard 4x storage compression for embedding corpora. Returns
+    (id, codes array<int>, vmin, vscale); reconstruction is
+    vmin + code * vscale.
+
+    Pure Column algebra (transform/floor — no UDFs); codes use the
+    explicit floor(x + 0.5) spelling so quantization is bit-identical
+    on any engine. Constant vectors get scale 0 and all-zero codes.
+    At 100 TB this is a map-only pass — no shuffle at all.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    codes = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor((x - mn) / scale + F.lit(0.5)).cast("int"))
+    )
+    return emb.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        mn.alias("vmin"),
+        scale.alias("vscale"),
+    )

@@ -364,6 +364,83 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_error",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, v, list_min(v) AS mn,
+             (list_max(v) - list_min(v)) / 255.0 AS sc
+      FROM v
+    ),
+    e AS (
+      SELECT label, len(v) AS d,
+             CASE WHEN sc = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x ->
+                    CAST(floor(abs(x - (mn + floor((x - mn) / sc + 0.5) * sc))
+                               * 1000000000.0 + 0.5) AS BIGINT)) END AS qe
+      FROM q
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(sum(list_sum(qe)) AS DOUBLE) / sum(d) / 1000000000.0, 6)
+             AS avg_abs_err,
+           round(CAST(max(list_max(qe)) AS DOUBLE) / 1000000000.0, 6)
+             AS max_abs_err
+    FROM e GROUP BY label ORDER BY label
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 vector compression quality (similarity.quantize_int8): per
+    label, mean and max absolute reconstruction error. Errors are
+    quantized to integer nano-units per element, so the per-vector and
+    per-label reductions are exact integer sums — engine- and
+    partition-order-independent. One map-only pass plus a label-keyed
+    aggregate."""
+    from .operators.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    src = e.select("vec_id", "label", v.alias("__v"))
+    q = quantize_int8(e)
+    j = src.join(q, "vec_id")
+    recon_err = F.zip_with(
+        F.col("__v"),
+        F.col("codes"),
+        lambda x, c: F.floor(
+            F.abs(x - (F.col("vmin") + c.cast("double") * F.col("vscale")))
+            * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    per_vec = j.select(
+        "label",
+        F.size("__v").alias("d"),
+        recon_err.alias("qe"),
+    ).select(
+        "label",
+        "d",
+        F.aggregate("qe", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_qe"),
+        F.array_max("qe").alias("max_qe"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("sum_qe").cast("double") / F.sum("d") / 1_000_000_000.0, 6
+            ).alias("avg_abs_err"),
+            F.round(F.max("max_qe").cast("double") / 1_000_000_000.0, 6).alias(
+                "max_abs_err"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "incremental_agg_maintenance",
     f"""
     SELECT event_type,

@@ -165,3 +165,25 @@ def test_curate_corpus_lsh_path_matches_exact(spark, sf_dir):
     exact = {r["doc_id"] for r in curate_corpus(docs, 0.5, 0.8).collect()}
     lsh = {r["doc_id"] for r in curate_corpus(docs, 0.5, 0.8, use_lsh=True).collect()}
     assert lsh == exact and exact
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    from easy_etl_spark.operators.similarity import quantize_int8
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0, 255.0]), (2, [-1.5, 0.0, 1.5, 3.0]), (3, [7.0, 7.0, 7.0, 7.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = quantize_int8(emb)
+    rows = {r.vec_id: r for r in q.collect()}
+    # codes span the int8 range endpoints
+    assert rows[1].codes[0] == 0 and rows[1].codes[-1] == 255
+    # constant vector: zero scale, zero codes
+    assert rows[3].vscale == 0.0 and set(rows[3].codes) == {0}
+    # reconstruction error bounded by scale/2 everywhere
+    src = {r.vec_id: r.embedding for r in emb.collect()}
+    for vid, r in rows.items():
+        for x, c in zip(src[vid], r.codes):
+            err = abs(x - (r.vmin + c * r.vscale))
+            assert err <= r.vscale / 2 + 1e-9, (vid, x, c, err)
