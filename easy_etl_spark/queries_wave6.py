@@ -29,7 +29,7 @@ time-series operators, each DuckDB-oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.exact import dec_sum, sql_sum
@@ -361,6 +361,47 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lexical_topk(docs, ["vector", "hash", "merge"], k=10)
+
+
+@register(
+    "window_rank_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           lag(o_orderkey)  OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS best_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family (rank/dense_rank/ntile/lag/lead/
+    percent_rank/cume_dist/first_value) over a deterministic total
+    order — one window shuffle keyed by customer. Rounds the two
+    rational-valued functions so the exact small fractions hash
+    identically."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("best_key"),
+    )
 
 
 @register(
