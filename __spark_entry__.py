@@ -87,6 +87,7 @@ _PRIORITY = [
     "cohort_retention",
     "incremental_agg_maintenance",
     "embedding_quantize_error",
+    "hybrid_search_rrf",
 ]
 
 

@@ -136,3 +136,28 @@ def bm25_reference(
         if s > 0:
             out[doc_id] = s
     return out
+
+
+def rrf_fuse(rankings: "list[DataFrame]", id_col: str = "doc_id", k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrievals: each input frame
+    carries (id_col, rank) with rank 1-based; fused score is
+    Σ 1/(k + rank) over the retrievers that returned the id. The
+    standard way to combine lexical and vector search without score
+    calibration. Ranks are small integers, so the score is a sum of
+    identical small rationals — deterministic on any engine.
+
+    Scale shape: each retrieval is already top-N (tiny); fusion is a
+    union + groupBy on the id — negligible next to retrieval itself.
+    """
+    tagged = None
+    for r in rankings:
+        t = r.select(F.col(id_col), F.col("rank"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(k) + F.col("rank"))), 6).alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    )

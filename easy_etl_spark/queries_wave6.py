@@ -364,6 +364,80 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_rrf",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY total_tf DESC, n_terms DESC, doc_id)
+               AS rank
+      FROM (
+        SELECT doc_id, sum(tf) AS total_tf, count(*) AS n_terms
+        FROM tf WHERE term IN ('vector', 'hash', 'merge')
+        GROUP BY doc_id
+        ORDER BY total_tf DESC, n_terms DESC, doc_id LIMIT 20
+      )
+    ),
+    v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_sum([x*x FOR x IN e])) AS nrm FROM v),
+    q AS (SELECT * FROM n WHERE vec_id = 0),
+    vec AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+      FROM (
+        SELECT c.vec_id AS doc_id,
+               round(list_sum(list_zip(q.e, c.e).apply(p -> p[1]*p[2]))
+                     / (q.nrm*c.nrm), 6) AS cosine
+        FROM q JOIN n c ON c.vec_id != q.vec_id
+        ORDER BY cosine DESC, doc_id LIMIT 20
+      )
+    )
+    SELECT doc_id,
+           round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+           count(*) AS n_sources
+    FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+    GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical top-20 (term frequency) and vector
+    top-20 (cosine around the vec_id=0 embedding) fused by reciprocal
+    rank (search.rrf_fuse, k=60). The synthetic corpora align doc i
+    with embedding i, so both retrievers rank the same id space. Each
+    retrieval keeps its own scale shape; fusion itself is a tiny
+    union + groupBy."""
+    from .operators.search import lexical_topk, rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = lexical_topk(docs, ["vector", "hash", "merge"], k=20)
+    lex_ranked = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            # 20-row frame: single-partition window is intended
+            Window.partitionBy(F.lit(0)).orderBy(
+                F.col("total_tf").desc(), F.col("n_terms_matched").desc(), F.col("doc_id")
+            )
+        )
+        .alias("rank"),
+    )
+    vec = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    vec_ranked = vec.select(F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank"))
+    return rrf_fuse([lex_ranked, vec_ranked], id_col="doc_id", k=60).limit(10)
+
+
+@register(
     "window_rank_functions",
     """
     SELECT o_custkey, o_orderkey,

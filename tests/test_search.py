@@ -49,3 +49,18 @@ def test_bm25_matches_reference(spark, docs):
 def test_bm25_no_match_empty(spark, docs):
     assert search.bm25_topk(docs, ["zzz"], k=5).count() == 0
     assert search.lexical_topk(docs, ["zzz"], k=5).count() == 0
+
+
+def test_rrf_fuse_combines_and_ranks(spark):
+    from easy_etl_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id bigint, rank int")
+    out = rrf_fuse([a, b], k=60).collect()
+    scores = {r.doc_id: (r.rrf_score, r.n_sources) for r in out}
+    assert scores[1] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert scores[3] == (round(1 / 63 + 1 / 61, 6), 2)
+    assert scores[2] == (round(1 / 62, 6), 1)
+    assert scores[9] == (round(1 / 63, 6), 1)
+    # both-source docs outrank single-source docs here
+    assert [r.doc_id for r in out[:2]] == [1, 3]
