@@ -88,6 +88,7 @@ _PRIORITY = [
     "incremental_agg_maintenance",
     "embedding_quantize_error",
     "hybrid_search_rrf",
+    "data_quality_checks",
 ]
 
 

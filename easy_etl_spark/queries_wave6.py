@@ -364,6 +364,74 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_checks",
+    """
+    SELECT 'unique:o_orderkey' AS check_name,
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+             AS n_violations,
+           (SELECT count(*) = count(DISTINCT o_orderkey) FROM orders) AS passed
+    UNION ALL
+    SELECT 'not_null:o_custkey',
+           (SELECT count(*) FILTER (WHERE o_custkey IS NULL) FROM orders),
+           (SELECT count(*) FILTER (WHERE o_custkey IS NULL) FROM orders) = 0
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey',
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+    UNION ALL
+    SELECT 'range:l_discount',
+           (SELECT count(*) FILTER (WHERE l_discount IS NULL
+                                    OR l_discount < 0 OR l_discount > 0.1)
+            FROM lineitem),
+           (SELECT count(*) FILTER (WHERE l_discount IS NULL
+                                    OR l_discount < 0 OR l_discount > 0.1)
+            FROM lineitem) = 0
+    UNION ALL
+    SELECT 'accepted:o_orderstatus',
+           (SELECT count(*) FILTER (WHERE o_orderstatus IS NULL
+                                    OR o_orderstatus NOT IN ('O','F','P'))
+            FROM orders),
+           (SELECT count(*) FILTER (WHERE o_orderstatus IS NULL
+                                    OR o_orderstatus NOT IN ('O','F','P'))
+            FROM orders) = 0
+    UNION ALL
+    SELECT 'range:o_totalprice_under_400k',
+           (SELECT count(*) FILTER (WHERE o_totalprice IS NULL
+                                    OR o_totalprice < 0 OR o_totalprice > 400000)
+            FROM orders),
+           (SELECT count(*) FILTER (WHERE o_totalprice IS NULL
+                                    OR o_totalprice < 0 OR o_totalprice > 400000)
+            FROM orders) = 0
+    ORDER BY check_name
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative validation suite (operators/quality.py): uniqueness,
+    null, referential-integrity, range, and accepted-values checks over
+    the star schema, one report row each. The deliberately-tight
+    price-ceiling check reports real violations — proving the report
+    counts rather than rubber-stamps."""
+    from .operators import quality as Q
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    report = Q.run_checks(
+        [
+            Q.unique(o, ["o_orderkey"]),
+            Q.not_null(o, "o_custkey"),
+            Q.foreign_key(o, "o_custkey", c, "c_custkey"),
+            Q.in_range(li, "l_discount", 0.0, 0.1),
+            Q.accepted_values(o, "o_orderstatus", ["O", "F", "P"]),
+            Q.in_range(o, "o_totalprice", 0.0, 400000.0, name="range:o_totalprice_under_400k"),
+        ]
+    )
+    return report.orderBy("check_name")
+
+
+@register(
     "hybrid_search_rrf",
     """
     WITH tf AS (
