@@ -46,6 +46,7 @@ class EtlPipeline:
         self._link_dims: list[DataFrame] = []
         self._middleware: list[Callable[[DataFrame], DataFrame]] = []
         self._ignored: list[str] = []
+        self._expectations: list[Callable[[DataFrame], Any]] = []
 
     # ---- staging --------------------------------------------------
     def extract(self, sql: str, write_pk_field: str | None = None, types: dict[str, Any] | None = None,
@@ -112,6 +113,16 @@ class EtlPipeline:
         self._ignored.extend(fields)
         return self
 
+    def expect(self, check_factory: "Callable[[DataFrame], Any]") -> "EtlPipeline":
+        """Stage a data-quality gate (operators/quality.py): the
+        callable receives the compiled DataFrame at load time and
+        returns a Check; any violations abort the load BEFORE the sink
+        is touched (validate-then-write). Extension beyond the
+        reference — its only validation is the hard KeyError on
+        ignoring a missing field (easy_etl/__init__.py:108-111)."""
+        self._expectations.append(check_factory)
+        return self
+
     # ---- compile --------------------------------------------------
     def dataframe(self) -> DataFrame:
         """Compile staged state into one lazy DataFrame lineage."""
@@ -169,6 +180,14 @@ class EtlPipeline:
         from pyspark.sql import Observation
 
         df = self.dataframe()
+        if self._expectations:
+            from .operators.quality import run_checks
+
+            report = run_checks([f(df) for f in self._expectations]).collect()
+            failed = [r for r in report if not r.passed]
+            if failed:
+                detail = ", ".join(f"{r.check_name}={r.n_violations}" for r in failed)
+                raise ValueError(f"load aborted: data-quality checks failed: {detail}")
         if df.isEmpty():
             # truthiness gate: empty resultsets skip the write entirely
             # (easy_etl/__init__.py:37)

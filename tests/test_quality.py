@@ -52,3 +52,23 @@ def test_violations_rows(spark, frame):
     assert sorted(r.v for r in rows) == [-5.0, 999.0]
     with pytest.raises(ValueError):
         Q.unique(frame, ["k"]).violations()
+
+
+def test_pipeline_expect_gate(spark, tmp_path):
+    from easy_etl_spark.pipeline import EtlPipeline
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "k bigint, name string")
+    sink = ParquetSink(spark, str(tmp_path / "t"))
+
+    p = EtlPipeline(spark)
+    p.extract_df(df).expect(lambda d: Q.not_null(d, "name"))
+    with pytest.raises(ValueError, match="not_null:name=1"):
+        p.load(sink)
+    assert sink.read() is None  # nothing written: validate-then-write
+
+    # a clean frame under the same expectation loads normally
+    p2 = EtlPipeline(spark)
+    p2.extract_df(df.filter("name IS NOT NULL")).expect(lambda d: Q.not_null(d, "name"))
+    p2.load(sink)
+    assert sink.read().count() == 1
