@@ -89,6 +89,7 @@ _PRIORITY = [
     "embedding_quantize_error",
     "hybrid_search_rrf",
     "data_quality_checks",
+    "session_duration_stats",
 ]
 
 

@@ -22,6 +22,13 @@ time-series operators, each DuckDB-oracle-checked.
   - events_funnel / cohort_retention: behavioral analytics — ordered
     conversion funnel (conditional min aggregates, no self-joins) and
     the first-seen-day cohort retention matrix.
+  - session_duration_stats: engagement metrics over sessionize.
+  - incremental_agg_maintenance: mergeable-partial rollup absorb.
+  - embedding_quantize_error: int8 vector compression + exact errors.
+  - hybrid_search_rrf: lexical + vector reciprocal-rank fusion.
+  - data_quality_checks: declarative validation suite
+    (operators/quality.py; also gates pipeline loads via .expect()).
+  - window_rank_functions: the full ranking-window family.
   - skew_salted_join: operators/scale.salted_join surfaced as an
     oracle-checked query — result must equal the plain join, proving
     salt replication neither drops nor duplicates rows.
@@ -361,6 +368,67 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lexical_topk(docs, ["vector", "hash", "merge"], k=10)
+
+
+@register(
+    "session_duration_stats",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ),
+    ids AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             -- floor each endpoint to whole seconds BEFORE differencing:
+             -- the engine side derives durations from second-formatted
+             -- session bounds, which truncates per endpoint
+             CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+               AS duration_s
+      FROM ids GROUP BY user_id, session_id
+    )
+    SELECT count(*) AS n_sessions,
+           count(*) FILTER (WHERE n_events = 1) AS n_singletons,
+           round(CAST(sum(duration_s) AS DOUBLE) / count(*), 4) AS avg_duration_s,
+           max(duration_s) AS max_duration_s,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_events
+    FROM sessions
+    """,
+)
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution over the sessionized stream
+    (streaming/windows.sessionize): counts, singleton share, and
+    integer-exact average/max durations — the engagement metrics a
+    session store derives. Durations are integer seconds, so every
+    aggregate is order-independent."""
+    from .streaming import windows as W
+
+    s = W.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    dur = (
+        F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+    ).cast("bigint")
+    per = s.select(dur.alias("duration_s"), "n_events")
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_singletons"),
+        F.round(F.sum("duration_s").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_duration_s"
+        ),
+        F.max("duration_s").alias("max_duration_s"),
+        F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_events"
+        ),
+    )
 
 
 @register(
