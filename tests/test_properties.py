@@ -248,3 +248,32 @@ def test_knuth_bucket_nonnegative_for_negative_ids(spark):
     df = spark.range(-1000, 0).select(knuth_bucket(F.col("id")).alias("b"))
     row = df.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
     assert 0 <= row.lo and row.hi < BUCKETS
+
+
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=8),
+    st.integers(0, 8),
+    st.sampled_from(["sub", "ins", "del", "eq"]),
+    st.sampled_from("abc"),
+)
+@settings(max_examples=200, deadline=None)
+def test_deletion_blocks_cover_every_single_edit(s, pos, kind, ch):
+    """FastSS guarantee behind operators/fuzzy.py: any pair within edit
+    distance 1 shares a block from {s} ∪ single-deletions(s). Pure
+    Python mirror of fuzzy.deletion_blocks (same construction)."""
+
+    def blocks(x: str) -> set:
+        return {x} | {x[:i] + x[i + 1 :] for i in range(len(x))}
+
+    p = min(pos, len(s) - 1)
+    if kind == "sub":
+        other = s[:p] + ch + s[p + 1 :]
+    elif kind == "ins":
+        other = s[: min(pos, len(s))] + ch + s[min(pos, len(s)) :]
+    elif kind == "del":
+        other = s[:p] + s[p + 1 :]
+    else:
+        other = s
+    if other == "":
+        return  # empty strings are out of scope for name matching
+    assert blocks(s) & blocks(other), (s, other)
