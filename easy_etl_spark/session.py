@@ -75,9 +75,10 @@ def get_spark(app_name: str = "easy-etl-spark", shuffle_partitions: int | None =
         # shouldn't pay pickle-per-row when a user does reach for it
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # driver testdata is written with nanosecond parquet timestamps,
-        # which Spark refuses by default; read as long then convert in
-        # load_table (micro truncation matches DuckDB's ns→us cast).
+        # tolerate nanosecond parquet timestamps (older testdata
+        # generations; Spark refuses them by default): read as long,
+        # load_table converts. Current testdata is naive-UTC micros
+        # (TIMESTAMP_NTZ), which load_table promotes to TIMESTAMP.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
