@@ -90,6 +90,7 @@ _PRIORITY = [
     "hybrid_search_rrf",
     "data_quality_checks",
     "session_duration_stats",
+    "events_trailing_hour",
 ]
 
 

@@ -371,6 +371,48 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trailing_hour",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS qv,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    )
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing,
+           (CAST(sum(qv) OVER w AS DOUBLE) / 100.0) AS sum_trailing
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour activity per event via a RANGE window frame (value
+    range, not row count — events in the same second all see each
+    other, which a ROWS frame would get wrong). One shuffle keyed by
+    user; the trailing sum aggregates pre-quantized integers so the
+    frame math is exact on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("qv"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        (F.sum("qv").over(w).cast("double") / 100.0).alias("sum_trailing"),
+    )
+
+
+@register(
     "session_duration_stats",
     """
     WITH lagged AS (
