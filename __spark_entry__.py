@@ -91,6 +91,7 @@ _PRIORITY = [
     "data_quality_checks",
     "session_duration_stats",
     "events_trailing_hour",
+    "sink_time_travel",
 ]
 
 

@@ -734,6 +734,44 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_time_travel",
+    """
+    SELECT 'current' AS state, 2 * count(*) AS n_rows,
+           CAST(2 * sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'v1', count(*), CAST(sum(n_nationkey) AS BIGINT) FROM nation
+    ORDER BY state
+    """,
+)
+def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned sink time travel (ParquetSink keep_versions): after
+    two appends the current table holds both batches while version 1
+    still reads back as the first state — audit/backfill reads without
+    a transaction log. Oracle derives both states from the source."""
+    import tempfile
+
+    from .sources.sinks import ParquetSink
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sink = ParquetSink(
+        spark, tempfile.mkdtemp(prefix="easy_etl_tt_") + "/t", keep_versions=2
+    )
+    sink.append(n)
+    sink.append(n)
+
+    def state(df, tag):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        ).select(F.lit(tag).alias("state"), "n_rows", "key_sum")
+
+    cur = state(sink.read(), "current")
+    v1 = state(sink.read(version=1), "v1")
+    return cur.unionByName(v1).orderBy("state")
+
+
+@register(
     "incremental_agg_maintenance",
     f"""
     SELECT event_type,

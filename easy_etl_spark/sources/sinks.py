@@ -95,18 +95,52 @@ class ParquetSink:
         id_col: str = "id",
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        keep_versions: int = 0,
     ):
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.partition_by = list(partition_by or [])
         self.cluster_by = list(cluster_by or [])
+        #: retain up to N previous table states as ``.__v{k}`` snapshot
+        #: dirs (poor-man's time travel; Delta/Iceberg replace this with
+        #: a real transaction log on a lakehouse deployment)
+        self.keep_versions = keep_versions
 
     # -- inspection -------------------------------------------------
     def exists(self) -> bool:
         return os.path.exists(self.path) and bool(os.listdir(self.path))
 
-    def read(self) -> DataFrame | None:
+    def _version_path(self, v: int) -> str:
+        return f"{self.path}.__v{v}"
+
+    def versions(self) -> list[int]:
+        """Retained snapshot numbers, oldest first (1 = first state the
+        table ever replaced). The current table is not listed."""
+        base = os.path.basename(self.path) + ".__v"
+        d = os.path.dirname(self.path) or "."
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith(base):
+                try:
+                    out.append(int(name[len(base):]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current table, or a retained snapshot (``versions()``) when
+        ``version`` is given — time-travel reads for audits/backfills.
+        """
+        if version is not None:
+            p = self._version_path(version)
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"version {version} not retained (have {self.versions()})"
+                )
+            return self.spark.read.parquet(p)
         if not self.exists():
             return None
         return self.spark.read.parquet(self.path)
@@ -138,7 +172,11 @@ class ParquetSink:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
-        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        if self.keep_versions > 0:
+            vs = self.versions()
+            old = self._version_path((vs[-1] if vs else 0) + 1)
+        else:
+            old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
         had_target = os.path.exists(self.path)
         if had_target:
             os.replace(self.path, old)
@@ -149,7 +187,12 @@ class ParquetSink:
                 os.replace(old, self.path)  # roll the old table back in
             raise
         if had_target:
-            shutil.rmtree(old)
+            if self.keep_versions > 0:
+                # prune snapshots beyond the retention window
+                for v in self.versions()[: -self.keep_versions] or []:
+                    shutil.rmtree(self._version_path(v))
+            else:
+                shutil.rmtree(old)
 
     def append(self, df: DataFrame, ensure: bool | None = None, safe: bool = False) -> None:
         """Append-insert load (easy_etl/__init__.py:96).

@@ -55,3 +55,33 @@ def test_sliding_stream_job(spark, sf_dir, tmp_path):
         for r in windows.sliding(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == batch and got
+
+
+def test_sink_version_retention_and_pruning(spark, tmp_path):
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "t"), keep_versions=2)
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for _ in range(4):  # 4 swaps: first write creates, 3 replace
+        sink.append(df)
+    # retention window: only the 2 newest snapshots survive
+    assert len(sink.versions()) == 2
+    vs = sink.versions()
+    # current = 4 appends; newest snapshot = 3; the one before = 2
+    assert sink.read().count() == 12
+    assert sink.read(version=vs[-1]).count() == 9
+    assert sink.read(version=vs[0]).count() == 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        sink.read(version=99)
+
+
+def test_sink_unversioned_leaves_no_snapshots(spark, tmp_path):
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "t"))
+    df = spark.range(2).withColumnRenamed("id", "k")
+    sink.append(df)
+    sink.append(df)
+    assert sink.versions() == []
