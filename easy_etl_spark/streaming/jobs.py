@@ -134,6 +134,43 @@ def foreach_batch_upsert(stream_df: DataFrame, sink, keys: list[str], checkpoint
     )
 
 
+def foreach_batch_scd2(
+    stream_df: DataFrame,
+    sink,
+    keys: list[str],
+    tracked: list[str],
+    ts_of_batch,
+    checkpoint: str,
+) -> DataStreamWriter:
+    """Streaming SCD Type-2 maintenance: each micro-batch of dimension
+    updates merges into the type-2 history via operators/scd.scd2_merge
+    (changed keys close + reopen, new keys open) and the result swaps
+    into the sink. ``ts_of_batch(batch_id) -> ISO timestamp`` stamps
+    each batch's effective time. Composes the batch merge plan inside
+    foreachBatch — the same pattern as foreach_batch_upsert, with
+    history semantics instead of overwrite."""
+    from ..operators import scd
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ts = ts_of_batch(batch_id)
+        current = sink.read()
+        if current is None:
+            hist = scd.scd2_init(batch_df, ts)
+        else:
+            hist = scd.scd2_merge(current, batch_df, keys=keys, tracked=tracked, ts=ts)
+        # _swap_write stages to a side dir first, so the merge plan can
+        # read the sink path it replaces
+        sink._swap_write(hist)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

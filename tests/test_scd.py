@@ -119,3 +119,41 @@ def test_snapshot_diff_statuses(spark):
         4: "deleted",
         5: "inserted",
     }
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    """Dimension snapshots streamed through foreachBatch must build the
+    same type-2 history as sequential batch merges."""
+    from easy_etl_spark.sources.sinks import ParquetSink
+    from easy_etl_spark.streaming import jobs
+
+    # two snapshot files, processed as separate micro-batches
+    # (maxFilesPerTrigger=1 preserves file order)
+    s1 = _dim(spark, [(1, "a"), (2, "b")])
+    s2 = _dim(spark, [(1, "a"), (2, "B"), (3, "c")])
+    src = tmp_path / "snaps"
+    s1.coalesce(1).write.parquet(str(src / "b0"))
+    s2.coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("k bigint, attr string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    sink = ParquetSink(spark, str(tmp_path / "hist"))
+    ts_by_batch = {0: T1, 1: T2}
+    q = jobs.foreach_batch_scd2(
+        stream, sink, keys=["k"], tracked=["attr"],
+        ts_of_batch=lambda b: ts_by_batch[b],
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination()
+
+    got = sorted(
+        (r.k, r.attr, r.is_current, str(r.valid_from)[:10]) for r in sink.read().collect()
+    )
+    expect_hist = _merge(scd.scd2_init(s1, T1), s2, ts=T2)
+    want = sorted(
+        (r.k, r.attr, r.is_current, str(r.valid_from)[:10]) for r in expect_hist.collect()
+    )
+    assert got == want and len(got) == 4
