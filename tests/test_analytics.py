@@ -1,0 +1,92 @@
+"""Hand-computed semantics for the behavioral-analytics operators
+(funnel, cohort retention, trailing-hour RANGE frames) — the oracle
+gate cross-checks them against DuckDB on driver data; these pin the
+semantics on crafted inputs that survive testdata regeneration."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Window, functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+
+
+def test_funnel_ordering_semantics(spark):
+    d = datetime
+    ev = _events(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (1, d(2024, 1, 1, 0), 1, "view", 0.0),
+            (2, d(2024, 1, 1, 1), 1, "click", 0.0),
+            (3, d(2024, 1, 1, 2), 1, "purchase", 0.0),
+            # user 2: purchase BEFORE click — not a conversion
+            (4, d(2024, 1, 1, 0), 2, "view", 0.0),
+            (5, d(2024, 1, 1, 2), 2, "click", 0.0),
+            (6, d(2024, 1, 1, 1), 2, "purchase", 0.0),
+            # user 3: view only
+            (7, d(2024, 1, 1, 0), 3, "view", 0.0),
+            # user 4: no view at all
+            (8, d(2024, 1, 1, 0), 4, "click", 0.0),
+        ],
+    )
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    u = ev.groupBy("user_id").agg(first_ts("view"), first_ts("click"), first_ts("purchase"))
+    row = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias("n_vc"),
+        F.count(
+            F.when((F.col("t_view") < F.col("t_click")) & (F.col("t_click") < F.col("t_purchase")), 1)
+        ).alias("n_vcp"),
+    ).first()
+    assert (row.n_users, row.n_view, row.n_vc, row.n_vcp) == (4, 3, 2, 1)
+
+
+def test_cohort_day_offsets(spark):
+    d = datetime
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1, 5), 1, "view", 0.0),   # cohort 01-01
+            (2, d(2024, 1, 3, 6), 1, "view", 0.0),   # offset 2
+            (3, d(2024, 1, 3, 7), 1, "click", 0.0),  # same day: one active row
+            (4, d(2024, 1, 2, 1), 2, "view", 0.0),   # cohort 01-02
+        ],
+    )
+    first_day = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("active_day")).distinct()
+    j = first_day.join(activity, "user_id").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+        F.datediff("active_day", "cohort_day").alias("off"),
+    )
+    got = sorted((r.cohort, r.off) for r in j.collect())
+    assert got == [("2024-01-01", 0), ("2024-01-01", 2), ("2024-01-02", 0)]
+
+
+def test_trailing_hour_range_frame(spark):
+    d = datetime
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1, 0, 0, 0), 1, "view", 1.0),
+            (2, d(2024, 1, 1, 0, 30, 0), 1, "view", 2.0),
+            (3, d(2024, 1, 1, 1, 0, 0), 1, "view", 4.0),   # exactly 3600s after e1: in frame
+            (4, d(2024, 1, 1, 2, 30, 0), 1, "view", 8.0),  # all others out of range
+            (5, d(2024, 1, 1, 0, 30, 0), 2, "view", 16.0), # other user: own partition
+        ],
+    )
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts")).rangeBetween(-3600, 0)
+    out = {
+        r.event_id: r.n
+        for r in ev.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
