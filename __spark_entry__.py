@@ -92,6 +92,9 @@ _PRIORITY = [
     "session_duration_stats",
     "events_trailing_hour",
     "sink_time_travel",
+    # graph & pattern mining
+    "pagerank_top20",
+    "frequent_part_pairs",
 ]
 
 

@@ -734,6 +734,127 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pagerank_top20",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (
+      SELECT 'C' || c_custkey AS node FROM customer
+      UNION ALL
+      SELECT 'S' || s_suppkey FROM supplier
+    ),
+    p AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, 1000000000000000 // (SELECT n FROM p) AS r FROM nodes),
+    i1 AS (
+      SELECT nodes.node,
+             (3000000000000000 // (20 * (SELECT n FROM p)))
+             + (17 * coalesce(m.m, 0)) // 20 AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r0.r // deg.d) AS m
+        FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+      ) m USING (node)
+    ),
+    i2 AS (
+      SELECT nodes.node,
+             (3000000000000000 // (20 * (SELECT n FROM p)))
+             + (17 * coalesce(m.m, 0)) // 20 AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(i1.r // deg.d) AS m
+        FROM e JOIN i1 ON e.src = i1.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+      ) m USING (node)
+    ),
+    i3 AS (
+      SELECT nodes.node,
+             (3000000000000000 // (20 * (SELECT n FROM p)))
+             + (17 * coalesce(m.m, 0)) // 20 AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(i2.r // deg.d) AS m
+        FROM e JOIN i2 ON e.src = i2.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+      ) m USING (node)
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_units
+    FROM i3 ORDER BY r DESC, node LIMIT 20
+    """,
+)
+def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three integer-exact PageRank iterations (operators/graph.py)
+    over the customer→supplier purchase graph; top-20 vertices by
+    rank. The oracle unrolls the identical integer recurrence as three
+    CTE iterations — bit-equality proves the distributed loop."""
+    from .operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node"))
+        .unionByName(
+            load_table(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("node")
+            )
+        )
+    )
+    r = pagerank(nodes, edges, iters=3)
+    return r.orderBy(F.col("rank_units").desc(), "node").limit(20)
+
+
+@register(
+    "frequent_part_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs appearing
+    together in ≥2 orders, ranked by support. The self-join is keyed on
+    the basket id, so cost is Σ basket² (baskets are tiny — ≤7 items in
+    TPC-H-shaped data), never corpus²; support counting is one pair-
+    keyed aggregate — the first pass of any FP-growth-style miner."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
     "sink_time_travel",
     """
     SELECT 'current' AS state, 2 * count(*) AS n_rows,

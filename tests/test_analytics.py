@@ -90,3 +90,45 @@ def test_trailing_hour_range_frame(spark):
         for r in ev.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
     }
     assert out == {1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+
+
+def test_pagerank_integer_recurrence_handcomputed(spark):
+    from easy_etl_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([("A",), ("B",), ("C",), ("D",)], "node string")
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], "src string, dst string"
+    )
+    got = {r.node: r.rank_units for r in pagerank(nodes, edges, iters=1).collect()}
+    # N=4: r0 = 1e15//4 = 250e12; base = 3e15//80 = 37.5e12
+    # B gets A's 250e12//2; C gets 125e12 (A) + 250e12 (B)
+    assert got == {
+        "A": 37_500_000_000_000,              # no incoming: base only
+        "B": 37_500_000_000_000 + (17 * 125_000_000_000_000) // 20,
+        "C": 37_500_000_000_000 + (17 * 375_000_000_000_000) // 20,
+        "D": 37_500_000_000_000,              # isolated vertex retained
+    }
+
+
+def test_frequent_pairs_basket_semantics(spark):
+    from pyspark.sql import functions as F
+
+    items = spark.createDataFrame(
+        # order 1: {10, 20, 30}; order 2: {10, 20}; order 3: {10}
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 10), (1, 10)],
+        "l_orderkey bigint, l_partkey bigint",
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .count()
+    )
+    got = {(r.pa, r.pb): r["count"] for r in pairs.collect()}
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
