@@ -95,6 +95,7 @@ _PRIORITY = [
     # graph & pattern mining
     "pagerank_top20",
     "frequent_part_pairs",
+    "association_rules",
 ]
 
 

@@ -855,6 +855,73 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    item_support AS (
+      SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey
+    ),
+    pair_support AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS s_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, s_ab,
+           round(CAST(s_ab AS DOUBLE) / sa.s, 6) AS confidence,
+           round(CAST(s_ab AS DOUBLE) * (SELECT n FROM n_orders)
+                 / (sa.s * sb.s), 6) AS lift
+    FROM pair_support
+    JOIN item_support sa ON part_a = sa.l_partkey
+    JOIN item_support sb ON part_b = sb.l_partkey
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b over the basket pairs: confidence
+    s(ab)/s(a) and lift s(ab)·N/(s(a)·s(b)), top-25 by lift. All
+    inputs are exact integer supports; each output is one double
+    division — deterministic on any engine. The two support joins
+    broadcast (item supports are part-dimension-sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    item_s = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_s = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    sa = F.broadcast(item_s.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa")))
+    sb = F.broadcast(item_s.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb")))
+    return (
+        pair_s.join(sa, "part_a")
+        .join(sb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "s_ab",
+            F.round(F.col("s_ab").cast("double") / F.col("sa"), 6).alias("confidence"),
+            F.round(
+                F.col("s_ab").cast("double") * F.lit(n_orders) / (F.col("sa") * F.col("sb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@register(
     "sink_time_travel",
     """
     SELECT 'current' AS state, 2 * count(*) AS n_rows,
