@@ -97,6 +97,7 @@ _PRIORITY = [
     "pagerank_top20",
     "frequent_part_pairs",
     "association_rules",
+    "weighted_doc_sample",
 ]
 
 

@@ -75,3 +75,29 @@ def sample_by_rates(
 ) -> DataFrame:
     """Statistical stratified sampling (Spark-native Bernoulli)."""
     return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
+
+
+def md5_uniform(id_col: Column, modulus: int) -> Column:
+    """Engine-portable pseudo-uniform integer in [0, modulus) from a
+    stable id: the first 8 hex chars of md5(str(id)) parsed as an
+    integer. md5 is bit-identical everywhere (unlike xxhash64, which
+    only Spark has), so an oracle engine reproduces the exact keep
+    set: Spark `conv(substr(md5(x),1,8),16,10)` == DuckDB
+    `('0x'||substr(md5(x),1,8))::BIGINT`. Per-row map, no shuffle."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(modulus))
+
+
+def weighted_bernoulli(
+    df: DataFrame,
+    weight: Column,
+    max_weight: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance sampling: keep each row with probability
+    weight/max_weight (weights are integers ≤ max_weight), decided by
+    the portable md5 hash of its id — deterministic across runs,
+    engines, and partition layouts, unlike rand()-based sampling.
+    The training-mix use: sample documents proportional to a
+    length/quality score instead of uniformly."""
+    return df.filter(md5_uniform(F.col(id_col), max_weight) < weight)

@@ -922,6 +922,44 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_doc_sample",
+    """
+    WITH d AS (
+      SELECT source, doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2000 AS u,
+             least(n_chars, 2000) AS w
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM d WHERE u < w
+    GROUP BY source ORDER BY source
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional importance sampling
+    (sampling.weighted_bernoulli): each doc keeps with probability
+    min(n_chars, 2000)/2000, decided by the engine-portable md5 hash
+    of its id — the DuckDB oracle reproduces the exact keep set, which
+    no rand()-based sample could."""
+    from .operators.sampling import weighted_bernoulli
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = weighted_bernoulli(
+        docs, F.least(F.col("n_chars"), F.lit(2000)), max_weight=2000
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "sink_compaction",
     """
     SELECT 2 * count(*) AS n_rows,

@@ -277,3 +277,19 @@ def test_deletion_blocks_cover_every_single_edit(s, pos, kind, ch):
     if other == "":
         return  # empty strings are out of scope for name matching
     assert blocks(s) & blocks(other), (s, other)
+
+
+@given(st.lists(st.integers(0, 2**31), min_size=1, max_size=30, unique=True))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_md5_uniform_matches_python_reference(spark, ids):
+    """sampling.md5_uniform must equal hashlib-md5-derived integers —
+    the property that makes the DuckDB oracle reproduce keep sets."""
+    import hashlib
+
+    from easy_etl_spark.operators.sampling import md5_uniform
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.u for r in df.select("doc_id", md5_uniform(F.col("doc_id"), 2000).alias("u")).collect()}
+    for i in ids:
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2000
+        assert got[i] == want, i
