@@ -58,6 +58,7 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_md5",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "curate_corpus",

@@ -444,3 +444,30 @@ def embedding_dup_pairs(
     return pairs.mapInPandas(
         block_pair, "id_a bigint, id_b bigint, cosine double"
     )
+
+
+def md5_simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash whose token hash is md5-derived — the engine-
+    portable twin of `simhash` (xxhash64 is Spark-only; md5 is
+    bit-identical in Spark, DuckDB, and Python, so an oracle engine
+    can recompute the signature exactly). Same explode → bit-vote →
+    pack shape, half the width; use the 64-bit xxhash version for
+    production throughput and this one where cross-engine
+    reproducibility is the requirement."""
+    tok = _fan_out(docs, id_col).select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).withColumn(
+        "__h", F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("bigint")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    agg = tok.groupBy("__id").agg(*votes)
+    packed = sum(
+        (F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(32)),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col("__id").alias(id_col), packed.alias("simhash32"))

@@ -921,6 +921,45 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash32_oracle() -> str:
+    """DuckDB twin of dedup.md5_simhash32: 32 bit-vote aggregates over
+    the md5-derived token hash, generated rather than hand-typed."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    pack = "\n             + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({pack} AS BIGINT) AS simhash32
+    FROM votes
+    """
+
+
+@register("dedup_simhash_md5", _simhash32_oracle())
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SimHash signatures (dedup.md5_simhash32): the
+    md5-derived 32-bit twin of the xxhash64 simhash, recomputed
+    bit-for-bit by the DuckDB oracle — turning the simhash family from
+    rows-only into value-hash-checked."""
+    from .operators.dedup import md5_simhash32
+
+    return md5_simhash32(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "weighted_doc_sample",
     """
