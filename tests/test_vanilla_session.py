@@ -53,3 +53,20 @@ def test_streaming_reader_self_sufficient(confless, sf_dir):
     stream = read_events_stream(confless, table_path(sf_dir, "events"))
     assert stream.isStreaming
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_wave6_queries_self_sufficient(confless, sf_dir):
+    """Round-2 operator families run under a conf-stripped session —
+    the exact failure mode of the round-1 driver harness (its own
+    session, none of get_spark()'s confs)."""
+    from easy_etl_spark.queries import QUERIES
+
+    for name in (
+        "events_trailing_hour",
+        "scd2_history",
+        "lexical_search_topk",
+        "session_duration_stats",
+        "dedup_simhash_md5",
+        "weighted_doc_sample",
+    ):
+        assert QUERIES[name](confless, sf_dir).count() > 0, name
