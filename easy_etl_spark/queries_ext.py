@@ -223,7 +223,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, source, count(*) AS n_docs,
            round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars,
-           sum(len(string_split(trim(text), ' '))) AS total_tokens
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang, source
     """,
@@ -310,13 +310,14 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
                      THEN 1 ELSE 0 END AS new_sess
       FROM lagged
     ),
     ids AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -334,7 +335,7 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props",
     """
     SELECT event_type, count(*) AS n,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            max(CAST(props->>'$.k' AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -447,7 +448,8 @@ def udtf_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('month', b) AS b, sum(n) AS n, sum(s) AS s
       FROM daily GROUP BY 1
     )
-    SELECT grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start, n,
+    SELECT grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(n AS BIGINT) AS n,
            round(CAST(s AS DOUBLE) / 1000000.0, 2) AS total,
            round(CAST(s AS DOUBLE) / 1000000.0 / n, 4) AS avg_value
     FROM (
