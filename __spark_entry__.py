@@ -57,15 +57,16 @@ _PRIORITY = [
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_md5",
+    "dedup_simhash_md5",  # oracle-checked simhash rep; xxhash64 variant in tail
     "dedup_embedding_cosine",
     "dedup_clusters",
     "curate_corpus",
-    # similarity / search
+    # similarity / search (oracle-checked int twins first; the
+    # double/xxhash64 production variants are rows-only and follow in
+    # the tail)
     "knn_brute_force",
-    "knn_lsh_bucketed",
-    "knn_ivf",
+    "knn_lsh_int",
+    "knn_ivf_int",
     "knn_filtered",
     "lexical_search_topk",
     # text / LLM-pipeline

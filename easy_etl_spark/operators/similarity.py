@@ -271,3 +271,149 @@ def quantize_int8(
         mn.alias("vmin"),
         scale.alias("vscale"),
     )
+
+
+# ----------------------------------------------------------------------
+# Engine-portable integer-exact twins (oracle-checked ANN)
+# ----------------------------------------------------------------------
+#
+# The xxhash64/double-precision variants above are the production path;
+# these twins replay the SAME bucketing/assignment/rank plumbing in
+# arithmetic a SQL oracle reproduces bit-for-bit: components quantize
+# to BIGINT (floor(x*1e6 + 0.5)), projections use md5-derived ±1
+# Rademacher planes, and distances are integer squared-L2 — every sum
+# is an exact integer, so aggregation order cannot perturb the result
+# on any engine. Same pattern as dedup.md5_simhash32.
+
+#: Fixed-point scale for portable quantization (6 decimal digits).
+Q_SCALE = 1_000_000
+
+
+def qvec(vec: Column) -> Column:
+    """array<float> → array<bigint>, floor(x*1e6 + 0.5) (round-half-up,
+    identical spelling to DuckDB's floor — bit-portable)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * Q_SCALE + F.lit(0.5)).cast("long")
+    )
+
+
+def _d2_int(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def rademacher_sign(p: int, d: int) -> int:
+    """±1 from the low bit of md5(f"{p}:{d}")'s first 8 hex chars —
+    the same value DuckDB computes as
+    ('0x' || substr(md5('p:d'), 1, 8))::BIGINT % 2. d is 1-based to
+    line up with DuckDB's (x, i) lambda index."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 1 else -1
+
+
+def int_lsh_neighbors(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH bucketed top-k with integer Rademacher projections: bucket
+    bit p = [Σ_d s(p,d)·q_d ≥ 0] with s(p,d) ∈ {±1} md5-derived —
+    exact integer sums, so corpus and oracle agree on every bucket.
+    Candidates share a bucket; rank is (integer d², neighbor_id).
+    Same 100 TB shape as lsh_bucketed_neighbors: one linear hashing
+    pass over the corpus, search cost ∝ bucket size; the signs are
+    Python-computed constants folded into the plan (no runtime
+    hashing, JVM codegen end-to-end)."""
+    signs = [[rademacher_sign(p, d) for d in range(1, dim + 1)] for p in range(n_planes)]
+
+    def bucket(vec: Column) -> Column:
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(s) for s in signs[p]])
+            proj = F.aggregate(
+                F.zip_with(vec, plane, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    corpus = emb.select(
+        F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q")
+    ).withColumn("__b", bucket(F.col("__q")))
+    q = (
+        queries.select(F.col(id_col).alias("__qid"), qvec(F.col(vec_col)).alias("__qq"))
+        .withColumn("__b", bucket(F.col("__qq")))
+    )
+    scored = (
+        corpus.join(F.broadcast(q), on="__b")
+        .filter(F.col("__qid") != F.col("__id"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            _d2_int(F.col("__qq"), F.col("__q")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def int_ivf_neighbors(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with pinned seeds: centroids are the n_lists lowest-id
+    vectors (quantized), every vector assigns to the argmin integer-d²
+    centroid (tie → lowest cell id), queries probe their own cell, and
+    ranking is (integer d², neighbor_id) — the full coarse-quantize /
+    probe / re-rank plumbing of ivf_neighbors with every decision
+    exactly replayable in SQL. The centroid fetch is a bounded
+    n_lists-row collect (8 rows), the assignment is pure Column algebra
+    folded into one map pass, and the probe join broadcasts the query
+    side — no extra shuffle vs the production kmeans path."""
+    corpus = emb.select(F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q"))
+    seeds = corpus.orderBy("__id").limit(n_lists).collect()
+    cents = [list(r["__q"]) for r in seeds]
+
+    def cell(vec: Column) -> Column:
+        alts = [
+            F.struct(
+                _d2_int(vec, F.array(*[F.lit(int(c)) for c in cent])).alias("d2"),
+                F.lit(i).alias("c"),
+            )
+            for i, cent in enumerate(cents)
+        ]
+        return F.array_min(F.array(*alts))["c"]
+
+    assigned = corpus.withColumn("__cell", cell(F.col("__q")))
+    q = queries.select(
+        F.col(id_col).alias("__qid"), qvec(F.col(vec_col)).alias("__qq")
+    ).withColumn("__cell", cell(F.col("__qq")))
+    scored = (
+        assigned.join(F.broadcast(q), on="__cell")
+        .filter(F.col("__qid") != F.col("__id"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            _d2_int(F.col("__qq"), F.col("__q")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -183,6 +183,104 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Engine-portable ANN twins: quantize to BIGINT (floor(x*1e6 + 0.5)),
+# integer squared-L2 distances, md5-derived ±1 planes — every decision
+# the Spark side makes is an exact integer the oracle recomputes
+# bit-for-bit (the dedup_simhash_md5 pattern applied to similarity).
+
+_QV = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+_PAIR_D2 = "CAST(list_sum(list_zip({a}, {b}).apply(p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+_SIGN = (
+    "(CASE WHEN ('0x' || substr(md5(CAST({p} AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT"
+    " % 2 = 1 THEN 1 ELSE -1 END)"
+)
+
+
+def _lsh_int_oracle(n_planes: int = 8) -> str:
+    """DuckDB twin of similarity.int_lsh_neighbors: per-plane integer
+    Rademacher projections via the (x, i) indexed lambda."""
+    bucket = "\n           + ".join(
+        f"CASE WHEN list_sum(list_transform(q, (x, i) -> x * {_SIGN.format(p=p)})) >= 0"
+        f" THEN {1 << p} ELSE 0 END"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_QV} AS q FROM embeddings),
+    b AS (
+      SELECT vec_id, q,
+           {bucket} AS bucket
+      FROM v
+    ),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_PAIR_D2.format(a="qs.q", b="c.q")} AS d2
+      FROM (SELECT * FROM b WHERE vec_id < 5) qs
+      JOIN b c ON c.bucket = qs.bucket AND c.vec_id != qs.vec_id
+    )
+    SELECT query_id, neighbor_id, d2, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+def _ivf_int_oracle(n_lists: int = 8) -> str:
+    """DuckDB twin of similarity.int_ivf_neighbors: pinned lowest-id
+    seeds, argmin integer-d² assignment (tie → lowest cell)."""
+    return f"""
+    WITH v AS (SELECT vec_id, {_QV} AS q FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cq
+      FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {n_lists})
+    ),
+    dist AS (
+      SELECT v.vec_id, v.q, cent.c,
+             {_PAIR_D2.format(a="v.q", b="cent.cq")} AS d2
+      FROM v, cent
+    ),
+    assign AS (
+      SELECT vec_id, q, c AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT qs.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_PAIR_D2.format(a="qs.q", b="a.q")} AS d2
+      FROM (SELECT * FROM assign WHERE vec_id < 5) qs
+      JOIN assign a ON a.cell = qs.cell AND a.vec_id != qs.vec_id
+    )
+    SELECT query_id, neighbor_id, d2, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+@register("knn_lsh_int", _lsh_int_oracle())
+def knn_lsh_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked LSH neighbors (similarity.int_lsh_neighbors):
+    the value-hash-verified twin of knn_lsh_bucketed."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.int_lsh_neighbors(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", "d2", "rnk"
+    )
+
+
+@register("knn_ivf_int", _ivf_int_oracle())
+def knn_ivf_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked IVF neighbors (similarity.int_ivf_neighbors):
+    the value-hash-verified twin of knn_ivf."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.int_ivf_neighbors(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", "d2", "rnk"
+    )
+
+
 # ----------------------------------------------------------------------
 # Text analysis
 # ----------------------------------------------------------------------
