@@ -367,17 +367,33 @@ def embedding_dup_pairs(
     those pairs — this operator is the exact path and the per-bucket
     verifier.
 
-    ``n_blocks=None`` (default) sizes blocks adaptively at ~4096
-    vectors each (one cheap 1-column count job): a dim-sized corpus
-    collapses to a handful of matmul tasks instead of paying 100+
-    task launches, while task count still grows with the corpus.
+    ``n_blocks=None`` (default) sizes blocks adaptively from Catalyst's
+    plan-stats ``sizeInBytes`` — a DRIVER-SIDE estimate (file splits ×
+    compression factor), so building the pair plan stays fully lazy:
+    no count job, no input scan (round 2 paid an eager ``emb.count()``
+    here, ~0.4 s of pure job overhead per call). Target ≈8 MB of scan
+    bytes per block keeps a block pair comfortably in task memory; a
+    dim-sized corpus collapses to one matmul task while block count
+    still grows linearly with the corpus. When stats are unusable
+    (non-file lineage reporting the 8 EiB default), fall back to one
+    cheap 1-column count job.
     """
     import math
 
     import numpy as np
 
     if n_blocks is None:
-        n_blocks = max(1, math.ceil(emb.count() / 4096))
+        block_bytes = 8 << 20
+        try:
+            # py4j maps the scala BigInt to a plain int; str() also
+            # covers JavaObject-shaped returns on other Spark builds
+            size = int(str(emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        except Exception:
+            size = None
+        if size is None or size <= 0 or size > (1 << 50):
+            n_blocks = max(1, math.ceil(emb.select(id_col).count() / 4096))
+        else:
+            n_blocks = max(1, min(1024, math.ceil(size / block_bytes)))
 
     v = emb.select(
         F.col(id_col).alias("__id"),
@@ -405,9 +421,11 @@ def embedding_dup_pairs(
             F.col("R.__ids").alias("rids"),
             F.col("R.__vecs").alias("rvecs"),
         )
-        # spread the O(B²/2) block-pair tasks across the cluster
-        .repartition(n_blocks * (n_blocks + 1) // 2)
     )
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    if n_pairs > 1:
+        # spread the O(B²/2) block-pair tasks across the cluster
+        pairs = pairs.repartition(n_pairs)
 
     def block_pair(batches):
         import pandas as pd
