@@ -77,10 +77,14 @@ def unique(df: DataFrame, cols: list[str], name: str | None = None) -> Check:
 def foreign_key(
     child: DataFrame, col: str, parent: DataFrame, pcol: str, name: str | None = None
 ) -> Check:
-    """Referential integrity: child rows whose key has no parent. The
+    """Referential integrity: non-NULL child rows whose key has no
+    parent. NULL child keys are excluded (SQL NOT IN semantics; pair
+    with a ``not_null`` check when NULLs should also fail). The
     anti-join broadcasts the parent key set when dimension-sized."""
-    orphans = child.select(F.col(col).alias("__k")).join(
-        parent.select(F.col(pcol).alias("__k")).distinct(), "__k", "left_anti"
+    orphans = (
+        child.select(F.col(col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .join(parent.select(F.col(pcol).alias("__k")).distinct(), "__k", "left_anti")
     )
     return Check(name or f"fk:{col}->{pcol}", orphans.agg(F.count(F.lit(1)).alias("__v")))
 

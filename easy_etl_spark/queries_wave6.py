@@ -421,7 +421,11 @@ def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+      -- floor each endpoint BEFORE differencing: the engine gap test
+      -- diffs second-truncated unix_timestamp values, and a fractional
+      -- gap straddling 1800 s must sessionize identically on both sides
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
                      THEN 1 ELSE 0 END AS new_sess
       FROM lagged
     ),
@@ -1013,23 +1017,31 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two appends written across many partitions) compacts to a single
     file with rows and values bit-identical — the standing maintenance
     job of incremental ingest, proven by read-back checksums."""
+    import shutil
     import tempfile
 
     from .sources.sinks import ParquetSink
 
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sink = ParquetSink(spark, tempfile.mkdtemp(prefix="easy_etl_compact_") + "/t")
-    sink.append(n.repartition(8))
-    sink.append(n.repartition(8))
-    def stats(df):
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").cast("bigint").alias("s")
-        ).first()
-        return int(r["n"]), int(r["s"])
+    root = tempfile.mkdtemp(prefix="easy_etl_compact_")
+    try:
+        sink = ParquetSink(spark, root + "/t")
+        sink.append(n.repartition(8))
+        sink.append(n.repartition(8))
 
-    before = stats(sink.read())
-    files_after = sink.compact(target_rows_per_file=10**9)
-    after = stats(sink.read())
+        def stats(df):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").cast("bigint").alias("s")
+            ).first()
+            return int(r["n"]), int(r["s"])
+
+        before = stats(sink.read())
+        files_after = sink.compact(target_rows_per_file=10**9)
+        after = stats(sink.read())
+    finally:
+        # the result is already materialized scalars — the scratch sink
+        # must not outlive the call (repeated bench runs leak TMPDIR)
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         [(after[0], after[1], files_after, before == after)],
         "n_rows bigint, key_sum bigint, n_files_after int, rows_preserved boolean",
@@ -1052,26 +1064,33 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     two appends the current table holds both batches while version 1
     still reads back as the first state — audit/backfill reads without
     a transaction log. Oracle derives both states from the source."""
+    import shutil
     import tempfile
 
     from .sources.sinks import ParquetSink
 
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sink = ParquetSink(
-        spark, tempfile.mkdtemp(prefix="easy_etl_tt_") + "/t", keep_versions=2
-    )
-    sink.append(n)
-    sink.append(n)
+    root = tempfile.mkdtemp(prefix="easy_etl_tt_")
+    try:
+        sink = ParquetSink(spark, root + "/t", keep_versions=2)
+        sink.append(n)
+        sink.append(n)
 
-    def state(df, tag):
-        return df.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
-        ).select(F.lit(tag).alias("state"), "n_rows", "key_sum")
+        def state(df, tag):
+            return df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            ).select(F.lit(tag).alias("state"), "n_rows", "key_sum")
 
-    cur = state(sink.read(), "current")
-    v1 = state(sink.read(version=1), "v1")
-    return cur.unionByName(v1).orderBy("state")
+        out = state(sink.read(), "current").unionByName(
+            state(sink.read(version=1), "v1")
+        ).orderBy("state")
+        rows, schema = out.collect(), out.schema
+    finally:
+        # materialize the 2 result rows before dropping the scratch
+        # sink (the read plan is lazy; TMPDIR must not leak per run)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
@@ -1091,6 +1110,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute — the mergeable-partial property that lets a 100 TB
     rollup absorb each new partition without re-scanning history.
     """
+    import shutil
     import tempfile
 
     from .functions.exact import dec_sum as _ds
@@ -1104,22 +1124,30 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"), _ds("value").alias("sum_value")
         )
 
-    sink = ParquetSink(spark, tempfile.mkdtemp(prefix="easy_etl_ivm_") + "/t")
-    sink.append(agg(e.filter(F.col("ts") < cutoff)))
-    stored = sink.read().select("event_type", "n_events", "sum_value")
-    delta = agg(e.filter(F.col("ts") >= cutoff))
-    merged = (
-        stored.unionByName(delta)
-        .groupBy("event_type")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            # sums of already-quantized decimals: plain sum re-merges
-            # exactly (the quantization happened once per raw row)
-            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+    root = tempfile.mkdtemp(prefix="easy_etl_ivm_")
+    try:
+        sink = ParquetSink(spark, root + "/t")
+        sink.append(agg(e.filter(F.col("ts") < cutoff)))
+        stored = sink.read().select("event_type", "n_events", "sum_value")
+        delta = agg(e.filter(F.col("ts") >= cutoff))
+        merged = (
+            stored.unionByName(delta)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                # sums of already-quantized decimals: plain sum re-merges
+                # exactly (the quantization happened once per raw row)
+                F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            )
         )
-    )
-    sink.upsert(merged, keys=["event_type"])
-    return sink.read().select("event_type", "n_events", "sum_value").orderBy("event_type")
+        sink.upsert(merged, keys=["event_type"])
+        out = sink.read().select("event_type", "n_events", "sum_value").orderBy("event_type")
+        rows, schema = out.collect(), out.schema
+    finally:
+        # materialize the per-type rows before dropping the scratch
+        # sink (lazy read plan; TMPDIR must not leak per run)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(

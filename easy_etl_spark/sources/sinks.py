@@ -303,6 +303,12 @@ class ParquetSink:
             return 0
         n = current.count()
         n_files = max(1, -(-n // target_rows_per_file))  # ceil
-        df = current.coalesce(n_files)
+        if n_files > current.rdd.getNumPartitions():
+            # coalesce can only merge — growing the file count (fewer,
+            # fatter input partitions than targets) needs a round-robin
+            # repartition to actually split
+            df = current.repartition(n_files)
+        else:
+            df = current.coalesce(n_files)
         self._swap_write(df)
         return len(self.data_files())

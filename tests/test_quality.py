@@ -72,3 +72,14 @@ def test_pipeline_expect_gate(spark, tmp_path):
     p2.extract_df(df.filter("name IS NOT NULL")).expect(lambda d: Q.not_null(d, "name"))
     p2.load(sink)
     assert sink.read().count() == 1
+
+
+def test_foreign_key_ignores_null_child_keys(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (None,), (99,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    # NOT IN semantics: only the non-NULL orphan (99) violates; the
+    # NULL child key is the not_null check's job
+    r = Q.foreign_key(child, "fk", parent, "pk").report().first()
+    assert r["n_violations"] == 1 and not r["passed"]

@@ -101,7 +101,8 @@ def test_compact_shrinks_files_preserves_values(spark, tmp_path):
     n_files = sink.compact(target_rows_per_file=1_000)
     assert n_files == 1 and len(sink.data_files()) == 1
     assert sorted(r.id for r in sink.read().collect()) == before
-    # target smaller than the table splits into multiple files
+    # target smaller than the table SPLITS the single compacted file —
+    # the grow direction needs repartition (coalesce can only merge)
     sink.compact(target_rows_per_file=40)  # ceil(100/40) = 3
-    assert len(sink.data_files()) <= 3  # coalesce cannot exceed input splits
+    assert len(sink.data_files()) == 3
     assert sorted(r.id for r in sink.read().collect()) == before
