@@ -77,7 +77,8 @@ _PRIORITY = [
     "vocab_encode",
     "quality_rules",
     "source_token_budget",
-    # multimodal
+    # multimodal (real-decode rep first; byte-plumbing variant follows)
+    "multimodal_decode",
     "multimodal_features",
     # time-series regularization, entity resolution, CDC, exact stats
     "events_resample_fill",

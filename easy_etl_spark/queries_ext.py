@@ -358,6 +358,43 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.featurize(media).select("doc_id", "n_bytes", "content_hash")
 
 
+@register(
+    "multimodal_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 100
+    ),
+    idx AS (
+      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS p FROM d
+    ),
+    px AS (
+      SELECT doc_id, w, h, p % 3 AS c, (doc_id * 7 + p * 13) % 256 AS v
+      FROM idx
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INTEGER) AS width,
+           CAST(any_value(h) AS INTEGER) AS height,
+           CAST(sum(v) FILTER (WHERE c = 0) AS BIGINT) AS r_sum,
+           CAST(sum(v) FILTER (WHERE c = 1) AS BIGINT) AS g_sum,
+           CAST(sum(v) FILTER (WHERE c = 2) AS BIGINT) AS b_sum,
+           round(CAST(sum(v) FILTER (WHERE c = 0) AS DOUBLE) / (any_value(w) * any_value(h)), 4) AS mean_r,
+           round(CAST(sum(v) FILTER (WHERE c = 1) AS DOUBLE) / (any_value(w) * any_value(h)), 4) AS mean_g,
+           round(CAST(sum(v) FILTER (WHERE c = 2) AS DOUBLE) / (any_value(w) * any_value(h)), 4) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: encode deterministic P6 PPM bytes
+    per doc (multimodal.synth_ppm_images), parse them back with the
+    pure-numpy decoder (multimodal.decode_image), and emit pixel-exact
+    per-channel sums/means. The oracle never touches bytes — it replays
+    the pixel formula as integer SQL, so any header/stride/channel
+    mis-parse in the decoder shifts a sum and fails the hash."""
+    media = multimodal.synth_ppm_images(_docs(spark, sf_dir), max_docs=100)
+    return multimodal.image_stats(media)
+
+
 # ----------------------------------------------------------------------
 # Event-time windows (batch twins of the streaming jobs)
 # ----------------------------------------------------------------------

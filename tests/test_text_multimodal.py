@@ -161,3 +161,55 @@ def test_winnow_fingerprints_coverage(spark):
     # per-doc stats operator agrees with the set sizes
     out = {r["doc_id"]: r["n_fingerprints"] for r in textops.winnow_fingerprints(docs).collect()}
     assert out == {d: len(s) for d, s in sets.items()}
+
+
+# -- real codecs -------------------------------------------------------
+
+def test_ppm_roundtrip_with_comments_and_whitespace():
+    import numpy as np
+
+    from easy_etl_spark.operators import multimodal as M
+
+    rng = np.arange(5 * 4 * 3, dtype="uint8").reshape(4, 5, 3)
+    assert (M.decode_ppm(M.encode_ppm(rng)) == rng).all()
+    # real PPM headers allow comments and arbitrary whitespace
+    hdr = b"P6 # comment\n# another\n 5\t4 # trailing\n255\n" + rng.tobytes()
+    assert (M.decode_ppm(hdr) == rng).all()
+
+
+def test_bmp_roundtrip_padding_and_bottom_up():
+    import numpy as np
+
+    from easy_etl_spark.operators import multimodal as M
+
+    # width 3 → stride 12 (padding exercised); values per channel distinct
+    a = (np.arange(3 * 7 * 3, dtype="uint8") * 5 % 251).reshape(7, 3, 3)
+    assert (M.decode_bmp(M.encode_bmp(a)) == a).all()
+
+
+def test_decode_image_dispatch_and_contract():
+    import numpy as np
+    import pytest
+
+    from easy_etl_spark.operators import multimodal as M
+
+    a = np.full((2, 2, 3), 9, dtype="uint8")
+    assert (M.decode_image(M.encode_ppm(a)) == a).all()
+    assert (M.decode_image(M.encode_bmp(a)) == a).all()
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        M.decode_ppm(b"P6\n2 2\n255\n\x00")  # truncated payload
+
+
+def test_resize_image_nearest_neighbor():
+    import numpy as np
+
+    from easy_etl_spark.operators import multimodal as M
+
+    a = np.arange(8 * 8 * 3, dtype="uint8").reshape(8, 8, 3)
+    out = M.decode_ppm(M.resize_image(M.encode_ppm(a), 4, 2))
+    assert out.shape == (2, 4, 3)
+    # nearest-neighbor: output pixel (y, x) = input (y*8//2, x*8//4)
+    ys, xs = (np.arange(2) * 8) // 2, (np.arange(4) * 8) // 4
+    assert (out == a[ys][:, xs]).all()
