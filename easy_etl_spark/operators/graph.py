@@ -38,6 +38,11 @@ def pagerank(
     ``nodes``: one row per vertex (isolated vertices included);
     ``edges``: distinct directed (src, dst). Returns (node, rank_units)
     where rank_units ≈ rank · 1e15.
+
+    Fixed ``iters`` keeps bit-exact parity with SQL oracles that unroll
+    the recurrence; when the iteration count should instead track the
+    data (bigger graphs need more rounds), use :func:`pagerank_until`,
+    which runs this exact recurrence to an integer-exact tolerance.
     """
     n = nodes.count()
     r0 = UNIT // n
@@ -67,3 +72,73 @@ def pagerank(
             )
         )
     return ranks
+
+
+def pagerank_until(
+    nodes: DataFrame,
+    edges: DataFrame,
+    tol_units: int = 10**9,
+    max_iter: int = 50,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "tuple[DataFrame, int, int]":
+    """Convergence-checked PageRank: iterate the same integer recurrence
+    as :func:`pagerank` until the max per-node change is ≤ ``tol_units``
+    (exact — ranks are integers, so the test is free of float noise;
+    ``tol_units=0`` detects a true fixed point) or ``max_iter`` rounds.
+    Returns (ranks, rounds_run, final_max_delta).
+
+    Bound: per-round changes contract by the damping factor 17/20, so
+    rounds ≤ log_{20/17}(U/tol) ≈ 9·ln(U/tol) — e.g. ~130 rounds to
+    tol 1e9 from a cold start in the worst case, far fewer on real
+    graphs. Each round localCheckpoints (constant-size lineage) and
+    runs one extra max-|Δ| aggregate — the price of not silently
+    under-iterating when the data is 100× bigger than the test graph.
+    """
+    n = nodes.count()
+    r0 = UNIT // n
+    base = (3 * UNIT) // (20 * n)
+
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = (
+        nodes.select(F.col(node_col))
+        .withColumn("rank_units", F.lit(r0))
+        .localCheckpoint()
+    )
+    rounds, delta = 0, UNIT
+    for rounds in range(1, max_iter + 1):
+        contrib = (
+            edges.join(ranks, edges[src_col] == ranks[node_col])
+            .join(deg, src_col)
+            .select(
+                F.col(dst_col).alias("__dst"),
+                F.expr("rank_units div __deg").alias("__c"),
+            )
+        )
+        incoming = contrib.groupBy("__dst").agg(F.sum("__c").alias("__m"))
+        new_ranks = (
+            nodes.select(F.col(node_col))
+            .join(incoming, F.col(node_col) == F.col("__dst"), "left")
+            .select(
+                node_col,
+                (F.lit(base) + F.expr("17 * coalesce(__m, 0L) div 20")).alias(
+                    "rank_units"
+                ),
+            )
+            .localCheckpoint()
+        )
+        delta = int(
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), node_col)
+            .agg(
+                F.max(
+                    F.abs(F.col("n.rank_units") - F.col("o.rank_units"))
+                ).alias("d")
+            )
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if delta <= tol_units:
+            break
+    return ranks, rounds, delta

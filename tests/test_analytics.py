@@ -132,3 +132,42 @@ def test_frequent_pairs_basket_semantics(spark):
     )
     got = {(r.pa, r.pb): r["count"] for r in pairs.collect()}
     assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+
+def test_pagerank_until_converges_and_extends_fixed_iters(spark, sf_dir):
+    from easy_etl_spark.operators.graph import pagerank, pagerank_until
+    from easy_etl_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node"))
+        .unionByName(
+            load_table(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("node")
+            )
+        )
+    )
+    tol = 10**10
+    ranks, rounds, delta = pagerank_until(nodes, edges, tol_units=tol, max_iter=40)
+    assert delta <= tol, f"did not converge in 40 rounds (delta={delta})"
+    assert 1 <= rounds < 40  # converges strictly before the safety cap
+    # the convergence loop runs the SAME recurrence as the fixed-iters
+    # oracle-checked variant: its state at round k equals pagerank(iters=k)
+    fixed = pagerank(nodes, edges, iters=rounds)
+    assert (
+        ranks.alias("a")
+        .join(fixed.alias("b"), "node")
+        .filter(F.col("a.rank_units") != F.col("b.rank_units"))
+        .count()
+        == 0
+    )
