@@ -1,0 +1,269 @@
+"""Seventh wave: the four TPC-H shapes that complete q1-q22 coverage
+(adapted to the driver schema — no partsupp table, no
+shipmode/commitdate columns; each keeps its original query's
+*structural* challenge), plus the language-ID text operator as an
+oracle-checked query.
+
+  - q2_min_cost_supplier: Q2's correlated-min subquery (cheapest
+    supplier per part), decorrelated into an aggregate + equality
+    join on the min — the rewrite Catalyst itself applies to Q2.
+  - q12_latency_buckets: Q12's CASE-bucketed dual conditional counts
+    over the orders⋈lineitem join (ship latency stands in for the
+    absent shipmode column).
+  - q16_supplier_counts: Q16's COUNT(DISTINCT) per part attribute
+    with a NOT-IN supplier exclusion (anti-join).
+  - q20_promo_excess_suppliers: Q20's nested IN-subquery chain
+    (parts slice → shipped-quantity threshold → supplier semi-join).
+  - language_id: textops.lang_id confusion counts per labeled lang —
+    the n-gram/profile-overlap heuristic of the LLM-pipeline brief,
+    replayed exactly by the oracle's list_filter counts.
+
+Scale notes per query are in the docstrings; every dimension-sized
+side is broadcast and each query's only shuffles are the fact-fact
+equi-join and the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.exact import dec_sum, sql_sum
+from .operators import textops
+from .queries import register
+from .session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS min_unit
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(min_unit) AS best_unit FROM unit GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name,
+           round(u.min_unit, 4) AS unit_price
+    FROM part p
+    JOIN unit u ON u.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = u.l_partkey AND u.min_unit = b.best_unit
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size >= 45 AND p.p_type = 'STANDARD'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier. The correlated min
+    subquery decorrelates into a per-(part, supplier) aggregate plus
+    an equality join against the per-part min — both aggregates
+    partial-merge map-side, and the min-unit equality join keys on
+    l_partkey so it rides the same shuffle as the aggregate. part /
+    supplier / nation broadcast. The min is over identical double
+    divisions on both engines, so the equality filter is bit-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 45) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit")
+    )
+    best = unit.groupBy("l_partkey").agg(F.min("min_unit").alias("best_unit"))
+    return (
+        unit.join(best, ["l_partkey"])
+        .filter(F.col("min_unit") == F.col("best_unit"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.round("min_unit", 4).alias("unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q12_latency_buckets",
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 30
+                THEN 'slow' ELSE 'fast' END AS ship_bucket,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style dual conditional counts per shipping bucket
+    (ship latency replaces the absent shipmode column). One fact-fact
+    equi-join, then a 2-group CASE aggregate — the conditional sums
+    partial-aggregate before the exchange, so the shuffle carries two
+    rows per map partition."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30, "slow"
+    ).otherwise("fast")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    LIMIT 40
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier counts per part attribute with a
+    NOT-IN exclusion: the subquery compiles to a broadcast anti-join
+    (complaint-supplier list is dimension-sized), the distinct count
+    expands to a two-phase aggregate keyed by (brand, size, suppkey)
+    then (brand, size) — no Expand node, both phases partial-merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+        .limit(40)
+    )
+
+
+@register(
+    "q20_promo_excess_suppliers",
+    f"""
+    WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    shipped AS (
+      SELECT l_suppkey, {sql_sum("l_quantity")} AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM promo)
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 100)
+    ORDER BY s.s_name
+    """,
+)
+def q20_promo_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested-IN chain: promo-parts slice → broadcast
+    semi-join restricts the lineitem scan → per-supplier shipped
+    quantity → threshold → semi-join back to supplier. Every IN is a
+    (broadcast) left-semi; the only shuffle is the per-supplier
+    aggregate. The date filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    promo = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    excess = (
+        li.join(F.broadcast(promo), "l_partkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dec_sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        s.join(F.broadcast(excess), "s_suppkey", "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB twin of textops.lang_id: profile-overlap counts +
+    priority argmax, generated from LANG_PROFILES so the two can't
+    drift."""
+    counts = {
+        lang: (
+            "len(list_filter(toks, x -> x IN ("
+            + ", ".join(f"'{w}'" for w in words)
+            + ")))"
+        )
+        for lang, words in textops.LANG_PROFILES.items()
+    }
+    return f"""
+    WITH t AS (
+      SELECT lang, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT lang, {counts['en']} AS en, {counts['es']} AS es,
+             {counts['de']} AS de
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN en >= es AND en >= de THEN 'en'
+                WHEN es >= de THEN 'es'
+                ELSE 'de' END AS predicted,
+           count(*) AS n
+    FROM s GROUP BY 1, 2
+    """
+
+
+@register("language_id", _lang_id_oracle())
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion counts: textops.lang_id (profile-overlap
+    argmax with fixed priority tie-break) against the labeled lang
+    column. Pure Column algebra per row (split/filter/size — zero
+    UDFs, embarrassingly parallel); the only shuffle is the final
+    ≤15-group aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textops.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -188,3 +188,32 @@ def test_resample_grid_is_broadcast(spark, sf_dir):
     f = _facts(spark, sf_dir, "events_resample_fill")
     assert f.cartesian == 0
     assert f.sort_merge_joins == 0, "grid join degraded to sort-merge"
+
+
+def test_q2_decorrelated_min_no_cartesian(spark, sf_dir):
+    f = _facts(spark, sf_dir, "q2_min_cost_supplier")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 3  # part, supplier, nation
+    assert any("p_size" in p for p in f.pushed_filters), "part slice not pushed"
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    f = _facts(spark, sf_dir, "q16_supplier_counts")
+    assert f.sort_merge_joins == 0
+    assert f.broadcast_joins >= 2  # anti vs bad suppliers + part dim
+    assert "Expand" not in f.text, "distinct agg planned an Expand"
+
+
+def test_q20_semi_chain_pushdown(spark, sf_dir):
+    f = _facts(spark, sf_dir, "q20_promo_excess_suppliers")
+    assert f.sort_merge_joins == 0 and f.cartesian == 0
+    assert any("l_shipdate" in p for p in f.pushed_filters), "date not pushed"
+
+
+def test_language_id_no_shuffle_before_agg(spark, sf_dir):
+    # per-row profile scoring must stay map-side: one exchange total
+    # (the final confusion-count aggregate; formatted explain prints
+    # each node twice — tree line + detail header)
+    f = _facts(spark, sf_dir, "language_id")
+    assert f.exchanges <= 2, f.text
+    assert f.scans_only_columns("text", "lang"), f.read_schemas
