@@ -393,7 +393,13 @@ def embedding_dup_pairs(
         if size is None or size <= 0 or size > (1 << 50):
             n_blocks = max(1, math.ceil(emb.select(id_col).count() / 4096))
         else:
-            n_blocks = max(1, min(1024, math.ceil(size / block_bytes)))
+            # floor of 4 blocks once the corpus is non-trivial: packing
+            # everything into ONE collect_list row makes a single giant
+            # nested Arrow cell whose (de)serialization serializes on
+            # one task — 4+ blocks spread it across the cluster at
+            # identical steady-state cost
+            min_blocks = 4 if size > (256 << 10) else 1
+            n_blocks = max(min_blocks, min(1024, math.ceil(size / block_bytes)))
 
     v = emb.select(
         F.col(id_col).alias("__id"),
@@ -423,8 +429,12 @@ def embedding_dup_pairs(
         )
     )
     n_pairs = n_blocks * (n_blocks + 1) // 2
-    if n_pairs > 1:
-        # spread the O(B²/2) block-pair tasks across the cluster
+    if n_pairs > 32:
+        # spread the O(B²/2) block-pair tasks across the cluster; for a
+        # handful of pairs the join's own output partitioning (one
+        # partition per left block, ≤B pairs each) already parallelizes
+        # and the extra shuffle of the packed blocks costs more than it
+        # balances
         pairs = pairs.repartition(n_pairs)
 
     def block_pair(batches):

@@ -267,3 +267,80 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "date_dimension",
+    """
+    WITH span AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+             CAST(max(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ),
+    days AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM span
+    )
+    SELECT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INTEGER) AS date_key,
+           d AS date,
+           CAST(year(d) AS INTEGER) AS year,
+           CAST(quarter(d) AS INTEGER) AS quarter,
+           CAST(month(d) AS INTEGER) AS month,
+           CAST(day(d) AS INTEGER) AS day,
+           CAST(isodow(d) AS INTEGER) AS iso_dow,
+           CAST(week(d) AS INTEGER) AS week_of_year,
+           monthname(d) AS month_name,
+           isodow(d) IN (6, 7) AS is_weekend,
+           day(d) = 1 AS is_month_start,
+           d = last_day(d) AS is_month_end
+    FROM days
+    """,
+)
+def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball calendar dimension spanning the orders fact table
+    (operators/dimensions.date_dimension) — the canonical dimension of
+    the reference's star-schema domain (easy_etl/README.md:98,161-165
+    links facts to a date dimension). One bounded min/max aggregate +
+    sequence/explode; no driver loop."""
+    from .operators.dimensions import date_dimension as build
+
+    dim = build(_t(spark, sf_dir, "orders"), "o_orderdate")
+    return dim.select(
+        "date_key", "date", "year", "quarter", "month", "day", "iso_dow",
+        "week_of_year", "month_name", "is_weekend", "is_month_start",
+        "is_month_end",
+    )
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    """DuckDB twin of dimensions.zorder_key — the interleave generated
+    from the same bit positions."""
+    terms = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i + 1}) + (((b >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH x AS (
+      SELECT l_orderkey, l_linenumber,
+             l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+      FROM lineitem WHERE l_orderkey < 200
+    )
+    SELECT l_orderkey, l_linenumber, CAST({terms} AS BIGINT) AS zkey
+    FROM x
+    """
+
+
+@register("zorder_key_lineitem", _zorder_oracle())
+def zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (partkey, suppkey) (dimensions.zorder_key):
+    the write-side clustering primitive that makes BOTH columns'
+    row-group min/max statistics selective — multi-dimensional file
+    skipping for the two-predicate scans a star schema issues. The
+    oracle replays the bit interleave exactly."""
+    from .operators.dimensions import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536).alias("zkey"),
+    )
