@@ -344,3 +344,48 @@ def zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         zorder_key(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536).alias("zkey"),
     )
+
+
+@register(
+    "orders_by_calendar",
+    f"""
+    WITH span AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+             CAST(max(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ),
+    days AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM span
+    ),
+    dim AS (
+      SELECT d, CAST(year(d) AS INTEGER) AS year,
+             CAST(quarter(d) AS INTEGER) AS quarter,
+             isodow(d) IN (6, 7) AS is_weekend
+      FROM days
+    )
+    SELECT dim.year, dim.quarter, dim.is_weekend,
+           count(*) AS n_orders,
+           {sql_sum("o.o_totalprice")} AS total_price
+    FROM orders o JOIN dim ON CAST(o.o_orderdate AS DATE) = dim.d
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_by_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kimball loop closed: facts joined to the GENERATED calendar
+    dimension (dimensions.date_dimension) on the date key, rolled up
+    by its attributes — the reference's star-schema pattern with the
+    dimension built by the engine instead of hand-loaded. The dim is
+    dimension-sized by construction (one row per day) → broadcast;
+    the only shuffle is the ≤40-group aggregate."""
+    from .operators.dimensions import date_dimension as build
+
+    o = _t(spark, sf_dir, "orders")
+    dim = build(o, "o_orderdate").select("date", "year", "quarter", "is_weekend")
+    return (
+        o.join(F.broadcast(dim), F.to_date("o_orderdate") == F.col("date"))
+        .groupBy("year", "quarter", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_price"),
+        )
+    )
