@@ -72,10 +72,19 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     return out
 
 
-def zorder_cluster(df: DataFrame, col_a: str, col_b: str, bits: int = 16) -> DataFrame:
+def zorder_cluster(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 16, num_files: int | None = None
+) -> DataFrame:
     """Repartition-by-range + sort on the Morton key of (col_a, col_b):
     the write-side layout pass before a ParquetSink append, so both
     columns' min/max file statistics become selective. The range
-    exchange samples the key distribution — no driver collect."""
+    exchange samples the key distribution — no driver collect.
+    ``num_files`` pins the output partition count (else the range
+    partitioner / AQE chooses; tiny frames coalesce to one file)."""
     keyed = df.withColumn("__z", zorder_key(F.col(col_a), F.col(col_b), bits))
-    return keyed.repartitionByRange(F.col("__z")).sortWithinPartitions("__z").drop("__z")
+    parts = [num_files] if num_files else []
+    return (
+        keyed.repartitionByRange(*parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

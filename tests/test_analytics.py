@@ -171,3 +171,44 @@ def test_pagerank_until_converges_and_extends_fixed_iters(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_zorder_cluster_narrows_file_bounding_boxes(spark, sf_dir, tmp_path):
+    """The point of Z-ordering: after clustering on the Morton key of
+    (a, b), EACH file's min/max range on BOTH columns is a small slice
+    of the domain, so predicates on either column skip most files.
+    Compare the summed per-file b-range against a layout partitioned
+    only by a — which leaves every file's b-range at ~full width."""
+    import pyarrow.parquet as pq
+
+    from easy_etl_spark.operators.dimensions import zorder_cluster
+    from easy_etl_spark.session import load_table
+
+    # decorrelated full-domain keys (sf0.001's natural keys are too
+    # low-cardinality to show clustering)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1024).alias("a"),
+        ((F.col("l_orderkey") * 7919 + F.col("l_linenumber")) % 1024).alias("b"),
+    )
+
+    def ranges(path):
+        out = []
+        for f in (tmp_path / path).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            names = md.schema.names
+            bi = names.index("b")
+            lo = min(md.row_group(i).column(bi).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(bi).statistics.max for i in range(md.num_row_groups))
+            out.append(hi - lo)
+        return out
+
+    zorder_cluster(li, "a", "b", bits=10, num_files=8).write.parquet(str(tmp_path / "z"))
+    li.repartitionByRange(8, "a").write.parquet(str(tmp_path / "bya"))
+    z_ranges, a_ranges = ranges("z"), ranges("bya")
+    assert len(z_ranges) >= 4
+    # a-only layout: b is unclustered → every file spans ~the full domain
+    assert min(a_ranges) > 900
+    # z-order: average per-file b-width shrinks to a fraction of the domain
+    assert sum(z_ranges) / len(z_ranges) < 0.7 * (sum(a_ranges) / len(a_ranges)), (
+        z_ranges, a_ranges,
+    )
