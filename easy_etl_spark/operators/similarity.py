@@ -204,7 +204,10 @@ def ivf_neighbors(
             F.col("__id").alias("neighbor_id"),
             F.round(_dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n")), 6).alias("cosine"),
         )
-        .distinct()  # a neighbor can appear via multiple probed lists
+        # no dedup needed: each corpus vector lives in exactly ONE list
+        # and a query's probed lists are distinct argsort indices, so a
+        # (query, neighbor) pair can only arise once — a distinct here
+        # would be a full extra shuffle of the scored pairs
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
