@@ -117,6 +117,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs where the SMALLER doc's shingle set is ≥ threshold
+    contained in the other: containment = |A∩B| / min(|A|, |B|) — the
+    asymmetric near-superset relation (quotes, excerpts, boilerplate
+    wrappers) that symmetric Jaccard under-scores: a 50-shingle doc
+    fully quoted inside a 5000-shingle doc has Jaccard ≈ 0.01 but
+    containment 1.0. Same inverted-index self-join shape (and 100 TB
+    posture) as ngram_jaccard_pairs; only the denominator differs."""
+    idx = _shingle_index(docs, text_col, id_col, k)
+    sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("__inter") / F.least(F.col("__na"), F.col("__nb")), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def _signatures_from_index(
     idx: DataFrame, num_perm: int, id_col: str, with_sizes: bool = False
 ) -> DataFrame:

@@ -389,3 +389,35 @@ def orders_by_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i * 1.0 / least(sa.n, sb.n), 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-superset dedup (dedup.containment_pairs):
+    |A∩B| / min(|A|,|B|) ≥ 0.9 — catches excerpts and boilerplate
+    wrappers whose symmetric Jaccard stays tiny. Same inverted-index
+    self-join posture as dedup_ngram_jaccard."""
+    from .operators import dedup as D
+
+    return D.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
