@@ -70,3 +70,24 @@ def test_wave6_queries_self_sufficient(confless, sf_dir):
         "weighted_doc_sample",
     ):
         assert QUERIES[name](confless, sf_dir).count() > 0, name
+
+
+def test_wave7_queries_self_sufficient(confless, sf_dir):
+    """Round-3 families under a conf-stripped session: new TPC-H
+    shapes, calendar dimension, Z-order keys, ANN int twins, real
+    multimodal decode, containment dedup, language-ID."""
+    from easy_etl_spark.queries import QUERIES
+
+    for name in (
+        "q2_min_cost_supplier",
+        "q12_latency_buckets",
+        "date_dimension",
+        "orders_by_calendar",
+        "zorder_key_lineitem",
+        "knn_lsh_int",
+        "knn_ivf_int",
+        "multimodal_decode",
+        "dedup_containment",
+        "language_id",
+    ):
+        assert QUERIES[name](confless, sf_dir).count() > 0, name
