@@ -421,3 +421,41 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup as D
 
     return D.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@register(
+    "null_safe_join",
+    """
+    WITH a AS (
+      SELECT nullif(c_nationkey % 5, 0) AS k, count(*) AS n_customers
+      FROM customer GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(s_nationkey % 5, 0) AS k, count(*) AS n_suppliers
+      FROM supplier GROUP BY 1
+    )
+    SELECT CAST(a.k AS INTEGER) AS k, a.n_customers, b.n_suppliers
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    bucket must match the NULL bucket, which a plain equi-join drops
+    silently. Spark plans eqNullSafe as a hash join on a
+    null-canonicalized key — same shuffle shape as ordinary equality,
+    no nested-loop degradation."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = (
+        c.select(F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    b = (
+        s.select(F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_customers", "n_suppliers"
+    )
