@@ -217,3 +217,21 @@ def test_language_id_no_shuffle_before_agg(spark, sf_dir):
     f = _facts(spark, sf_dir, "language_id")
     assert f.exchanges <= 2, f.text
     assert f.scans_only_columns("text", "lang"), f.read_schemas
+
+
+def test_orders_by_calendar_dim_broadcast(spark, sf_dir):
+    f = _facts(spark, sf_dir, "orders_by_calendar")
+    assert f.sort_merge_joins == 0, "generated calendar dim must broadcast"
+    assert f.broadcast_joins >= 1
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
+    f = _facts(spark, sf_dir, "null_safe_join")
+    assert f.cartesian == 0
+    assert "BroadcastNestedLoopJoin" not in f.text, "eqNullSafe degraded to BNLJ"
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    # inverted-index self-join: key is the shingle, never a cross join
+    f = _facts(spark, sf_dir, "dedup_containment")
+    assert f.cartesian == 0

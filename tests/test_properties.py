@@ -293,3 +293,36 @@ def test_md5_uniform_matches_python_reference(spark, ids):
     for i in ids:
         want = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2000
         assert got[i] == want, i
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_zorder_key_matches_python_interleave_and_is_injective(spark, pairs):
+    """The Column-algebra Morton key must equal the reference Python
+    bit-interleave for arbitrary 16-bit inputs, and distinct (a, b)
+    pairs must map to distinct keys (injectivity is what makes the
+    sort a true 2-D clustering)."""
+    from easy_etl_spark.operators.dimensions import zorder_key
+
+    def py_z(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i + 1)
+            out |= ((b >> i) & 1) << (2 * i)
+        return out
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    expected = {(a, b): py_z(a, b) for a, b in pairs}
+    assert got == expected
+    assert len(set(got.values())) == len(pairs)  # injective
