@@ -459,3 +459,19 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("k"), "n_customers", "n_suppliers"
     )
+
+
+from .operators.bpe import bpe_oracle_sql  # noqa: E402
+
+
+@register("bpe_merges", bpe_oracle_sql(k=4))
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 4 merges (operators/bpe.py):
+    weighted adjacent-symbol pair counts over the word-frequency vocab,
+    (count DESC, pair ASC) argmax, replace-to-fixpoint merge — the
+    DuckDB oracle replays the whole training loop bit-for-bit,
+    recursive-CTE fixpoint included. The corpus is touched once (word
+    counts); every merge iteration runs on the dimension-sized vocab."""
+    from .operators.bpe import train_merges
+
+    return train_merges(_t(spark, sf_dir, "documents"), k=4)

@@ -213,3 +213,26 @@ def test_resize_image_nearest_neighbor():
     # nearest-neighbor: output pixel (y, x) = input (y*8//2, x*8//4)
     ys, xs = (np.arange(2) * 8) // 2, (np.arange(4) * 8) // 4
     assert (out == a[ys][:, xs]).all()
+
+
+# -- BPE merge training ------------------------------------------------
+
+def test_bpe_merges_handcomputed(spark):
+    from easy_etl_spark.operators.bpe import train_merges
+
+    docs = spark.createDataFrame([(1, "aaab aaab ab ab ab")], "doc_id bigint, text string")
+    got = [tuple(r) for r in train_merges(docs, k=2).collect()]
+    # vocab: aaab×2 ("a a a b": pairs aa,aa,ab), ab×3 ("a b": pair ab)
+    # pair counts: (a,a)=4, (a,b)=2+3=5 → merge 1 = "a b"→ab support 5
+    # then aaab=" a a ab ", ab=" ab ": (a,a)=2, (a,ab)=2 → tie, "a a" < "a ab"
+    assert got == [(1, "a b", "ab", 5), (2, "a a", "aa", 2)]
+
+
+def test_bpe_fixpoint_equals_greedy_on_odd_runs(spark):
+    from easy_etl_spark.operators.bpe import train_merges
+
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id bigint, text string")
+    got = [tuple(r) for r in train_merges(docs, k=2).collect()]
+    # "a a a": greedy merges the FIRST (a,a) only → " aa a ", so merge 2
+    # must see (aa, a), not (a, aa) — the left-to-right fixpoint property
+    assert got == [(1, "a a", "aa", 2), (2, "aa a", "aaa", 1)]
