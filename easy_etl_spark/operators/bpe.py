@@ -47,6 +47,14 @@ def _adjacent_pairs(s):
     )
 
 
+def train_merges_with_state(
+    docs: DataFrame, k: int = 4, text_col: str = "text"
+) -> "tuple[DataFrame, DataFrame]":
+    """train_merges plus the final vocab symbol state (w, cnt, s) —
+    the encode side reuses the state instead of replaying merges."""
+    return _train(docs, k, text_col)
+
+
 def train_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame:
     """Learn the first k BPE merges; returns one row per merge:
     (rank, pair, merged, support).
@@ -56,6 +64,10 @@ def train_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFra
     map pass (checkpointed; the fixpoint loop reruns only while some
     word still contains the pair, which resolves in a couple of passes
     since each replace strictly shortens the symbol string)."""
+    return _train(docs, k, text_col)[0]
+
+
+def _train(docs: DataFrame, k: int, text_col: str):
     spark = docs.sparkSession
     words = (
         word_counts(docs, text_col)
@@ -84,7 +96,10 @@ def train_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFra
             if words.filter(F.instr(F.col("s"), pat) > 0).count() == 0:
                 break
         out.append((rank, pair, merged, support))
-    return spark.createDataFrame(out, "rank int, pair string, merged string, support bigint")
+    merges = spark.createDataFrame(
+        out, "rank int, pair string, merged string, support bigint"
+    )
+    return merges, words
 
 
 def bpe_oracle_sql(k: int = 4) -> str:
@@ -138,4 +153,62 @@ def bpe_oracle_sql(k: int = 4) -> str:
         "\n    WITH RECURSIVE "
         + ",".join(blocks)
         + f"\n    SELECT CAST(rank AS INTEGER) AS rank, pair, merged, support FROM ({finals})"
+    )
+
+
+def encode_stats(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame:
+    """Apply the trained merges and report per-language compression:
+    (lang, n_words, n_chars, n_subwords, chars_per_subword). The encode
+    side is one broadcast-able join of the per-(lang, word) counts with
+    the trained vocab state — documents are never re-tokenized beyond
+    the word level."""
+    _, words = train_merges_with_state(docs, k, text_col)
+    lw = (
+        docs.select("lang", F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_sym = F.size(F.split(F.trim(F.col("s")), " "))
+    return (
+        lw.join(words.select("w", "s"), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+            F.sum(F.col("cnt") * n_sym).alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_subwords",
+            F.round(F.col("n_chars").cast("double") / F.col("n_subwords"), 4).alias(
+                "chars_per_subword"
+            ),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(k: int = 4) -> str:
+    """DuckDB twin of encode_stats: train via the same blocks, then
+    join per-(lang, word) counts with the final symbol state."""
+    train = bpe_oracle_sql(k)
+    body = train[: train.rindex("\n    SELECT CAST(rank")]
+    return (
+        body
+        + f""",
+    lw AS (
+      SELECT lang, w, count(*) AS cnt FROM (
+        SELECT lang, unnest(string_split(trim(text), ' ')) AS w FROM documents
+      ) GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(lw.cnt) AS BIGINT) AS n_words,
+           CAST(sum(lw.cnt * length(lw.w)) AS BIGINT) AS n_chars,
+           CAST(sum(lw.cnt * len(string_split(trim(s), ' '))) AS BIGINT) AS n_subwords,
+           round(CAST(sum(lw.cnt * length(lw.w)) AS DOUBLE)
+                 / sum(lw.cnt * len(string_split(trim(s), ' '))), 4) AS chars_per_subword
+    FROM lw JOIN w{k} ON lw.w = w{k}.word
+    GROUP BY lang
+    """
     )

@@ -475,3 +475,18 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import train_merges
 
     return train_merges(_t(spark, sf_dir, "documents"), k=4)
+
+
+from .operators.bpe import bpe_encode_oracle_sql  # noqa: E402
+
+
+@register("bpe_encode_stats", bpe_encode_oracle_sql(k=4))
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language subword compression after the 4 trained BPE merges
+    (operators/bpe.encode_stats): the encode is one join of
+    (lang, word) counts against the trained vocab state — the oracle
+    retrains and re-encodes from scratch, so the whole train+apply
+    path is value-hash-checked."""
+    from .operators.bpe import encode_stats
+
+    return encode_stats(_t(spark, sf_dir, "documents"), k=4)
