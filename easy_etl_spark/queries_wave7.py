@@ -25,7 +25,7 @@ equi-join and the final aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.exact import dec_sum, sql_sum
@@ -490,3 +490,65 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import encode_stats
 
     return encode_stats(_t(spark, sf_dir, "documents"), k=4)
+
+
+@register(
+    "temperature_mix",
+    """
+    WITH src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(floor(sqrt(count(*)) * 1000000 + 0.5) AS BIGINT) AS wq
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(wq) AS BIGINT) AS w_all, count(*) AS n_src FROM src),
+    base AS (
+      SELECT source, n_docs, wq,
+             (1000 * wq) // w_all AS floor_share,
+             (1000 * wq) % w_all AS rem
+      FROM src, tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             CAST((SELECT 1000 - sum(floor_share) FROM base) AS BIGINT) AS leftover
+      FROM base
+    )
+    SELECT source, n_docs,
+           CAST(floor_share + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS target_docs
+    FROM ranked
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted training mix (T5-style): per-source budget
+    ∝ n^0.5, allocated by largest-remainder rounding to exactly 1000
+    docs. Integer-exact throughout — sqrt quantizes to fixed-point
+    BEFORE the sum, so the total weight is an integer sum (order-free)
+    and every share is integer division; no float accumulation ever
+    crosses a floor boundary differently per engine. The whole
+    computation runs on the per-source summary (dimension-sized); the
+    corpus contributes one count aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "wq", F.floor(F.sqrt(F.col("n_docs")) * 1000000 + F.lit(0.5)).cast("long")
+    )
+    tot = src.agg(F.sum("wq").cast("long").alias("w_all"))
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("1000 * wq div w_all").alias("floor_share"),
+        ((F.lit(1000) * F.col("wq")) % F.col("w_all")).alias("rem"),
+    )
+    leftover = base.agg((F.lit(1000) - F.sum("floor_share")).cast("long").alias("lo"))
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    return (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("rr", F.row_number().over(w))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("floor_share")
+                + F.when(F.col("rr") <= F.col("lo"), 1).otherwise(0)
+            ).cast("long").alias("target_docs"),
+        )
+    )
