@@ -552,3 +552,64 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("target_docs"),
         )
     )
+
+
+@register(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, measure, round(value, 2) AS value
+    FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size,
+             p_retailprice AS retailprice
+      FROM part WHERE p_partkey < 100
+    )
+    UNPIVOT (value FOR measure IN (size, retailprice))
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of pivot_status_by_flag): Spark's
+    unpivot/melt against DuckDB's UNPIVOT. Map-side only — one row in,
+    two out, no shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot(
+        "p_partkey", ["size", "retailprice"], "measure", "value"
+    ).select("p_partkey", "measure", F.round("value", 2).alias("value"))
+
+
+@register(
+    "histogram_order_totals",
+    """
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over order totals (width_bucket semantics,
+    spelled as explicit floor division so BOTH engines evaluate the
+    identical IEEE expression — this DuckDB build lacks width_bucket).
+    Pure map expression; the only shuffle is the ≤14-group aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 0, 0)
+        .when(F.col("o_totalprice") >= 600000, 13)
+        .otherwise(F.floor(F.col("o_totalprice") / 50000.0).cast("long") + 1)
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
