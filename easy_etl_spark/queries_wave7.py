@@ -613,3 +613,64 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS q
+      FROM hourly GROUP BY 1
+    )
+    SELECT hourly.event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           c AS n_events,
+           round((c - CAST(s AS DOUBLE) / n)
+                 / sqrt((n * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                        / (CAST(n AS DOUBLE) * (n - 1))), 4) AS z
+    FROM hourly JOIN stats ON hourly.event_type = stats.event_type
+    WHERE n > 1
+      AND abs((c - CAST(s AS DOUBLE) / n)
+              / sqrt((n * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                     / (CAST(n AS DOUBLE) * (n - 1)))) > 2
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count sits >2
+    sample-standard-deviations from the per-type mean. Moments are
+    exact integer sums (S, Q) aggregated map-side; mean/variance/z are
+    the SAME double expressions on both engines, so the |z|>2 cut is
+    bit-deterministic. The per-type stats (≤ #types rows) broadcast
+    back onto the hourly frame — two aggregates and a broadcast join,
+    no window, at any scale."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("n") * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("n") > 1) & (F.abs(z) > 2))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("c").alias("n_events"),
+            F.round(z, 4).alias("z"),
+        )
+    )
