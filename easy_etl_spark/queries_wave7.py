@@ -674,3 +674,40 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@register(
+    "events_enriched_heavy_users",
+    f"""
+    WITH user_stats AS (
+      SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN us.n_ev >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS heavy_user_events,
+           {sql_sum("CASE WHEN us.n_ev >= 50 THEN e.value ELSE 0 END")}
+             AS heavy_user_value
+    FROM events e JOIN user_stats us ON e.user_id = us.user_id
+    GROUP BY e.event_type
+    """,
+)
+def events_enriched_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/jobs.enrich_stream): every event looks up its user's
+    profile (here: lifetime event count) and the per-type aggregate
+    splits out heavy-user traffic. The profile dimension broadcasts;
+    the only shuffles are the profile aggregate and the ≤5-group
+    rollup."""
+    e = _t(spark, sf_dir, "events")
+    us = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    heavy = F.col("n_ev") >= 50
+    return (
+        e.join(F.broadcast(us), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(heavy, 1).otherwise(0)).alias("heavy_user_events"),
+            dec_sum(F.when(heavy, F.col("value")).otherwise(0.0)).alias("heavy_user_value"),
+        )
+    )

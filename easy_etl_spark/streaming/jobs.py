@@ -115,8 +115,18 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
 
 
 def _has_agg(df: DataFrame) -> bool:
+    """True only for a STREAMING aggregation (needs complete mode).
+    An Aggregate inside a static dimension joined onto the stream
+    (enrich_stream) must NOT trigger complete — append is the only
+    valid mode there. The analyzed plan prints top-down, so a
+    streaming aggregation's Aggregate node appears above (before) the
+    streaming relation; a static-side Aggregate prints after it."""
     plan = df._jdf.queryExecution().analyzed().toString()
-    return "Aggregate" in plan
+    agg = plan.find("Aggregate")
+    if agg < 0:
+        return False
+    stream_rel = plan.find("StreamingRelation")
+    return stream_rel < 0 or agg < stream_rel
 
 
 def foreach_batch_upsert(stream_df: DataFrame, sink, keys: list[str], checkpoint: str) -> DataStreamWriter:
@@ -208,3 +218,14 @@ def interval_join_stream(
         (F.unix_micros(F.col("rts").cast("timestamp"))
          - F.unix_micros(F.col("lts").cast("timestamp"))).alias("gap_us"),
     )
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, key: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension (feature/profile lookup — the standard serving pattern).
+    The static side re-resolves per micro-batch (a refreshed dimension
+    is picked up on the next batch) and broadcasts when dimension-sized
+    — no streaming state at all, unlike stream-stream joins."""
+    return stream.join(F.broadcast(dim), key, how)

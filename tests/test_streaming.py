@@ -180,3 +180,20 @@ def test_streaming_curation_maps_match_batch(spark, sf_dir, tmp_path_factory):
     got = {(r.doc_id, r.red) for r in spark.table("t_curated").collect()}
     want = {(r.doc_id, r.red) for r in curate(batch_docs).collect()}
     assert got == want and got
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir):
+    """enrich_stream: each micro-batch joins the static user-profile
+    dimension; the streamed enriched rows must equal the batch join."""
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+
+    stream = jobs.read_events_stream(spark, events_dir)
+    enriched = jobs.enrich_stream(stream, dim).select("event_id", "user_id", "n_ev")
+    jobs.run_to_memory(enriched, "t_enriched")
+    got = {tuple(r) for r in spark.table("t_enriched").collect()}
+    batch = {
+        tuple(r)
+        for r in e.join(dim, "user_id").select("event_id", "user_id", "n_ev").collect()
+    }
+    assert got == batch and got
