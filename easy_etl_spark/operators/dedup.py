@@ -117,6 +117,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_jaccard_dups(
+    base: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup check: which NEW docs duplicate an already-
+    indexed BASE corpus (shingle Jaccard ≥ threshold)?
+
+    The production shape of continuous corpus ingestion: the base
+    shingle index is built once (and at scale persisted/bucketed by
+    shingle); each arriving batch builds only ITS index and equi-joins
+    the base on the shingle key — cost is proportional to the batch,
+    not the corpus, and never new×new or base×base. Returns
+    (new_id, base_id, jaccard).
+    """
+    bi = _shingle_index(base, text_col, id_col, k).select(
+        F.col("__id").alias("__bid"), F.col("__sh").alias("__sh")
+    )
+    ni = _shingle_index(new, text_col, id_col, k).select(
+        F.col("__id").alias("__nid"), F.col("__sh").alias("__sh")
+    )
+    b_sizes = bi.groupBy("__bid").agg(F.count(F.lit(1)).alias("__nb"))
+    n_sizes = ni.groupBy("__nid").agg(F.count(F.lit(1)).alias("__nn"))
+    inter = (
+        ni.join(bi, "__sh")
+        .groupBy(F.col("__nid").alias("new_id"), F.col("__bid").alias("base_id"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.round(
+        F.col("__inter") / (F.col("__nn") + F.col("__nb") - F.col("__inter")), 4
+    )
+    return (
+        inter.join(n_sizes.withColumnRenamed("__nid", "new_id"), "new_id")
+        .join(b_sizes.withColumnRenamed("__bid", "base_id"), "base_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.9,

@@ -135,7 +135,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
+    from pyspark.sql import types as _T
+
     for c in _nano_ts_columns(path):
+        # Guard on the Spark-read dtype: INT96 files also report ns in
+        # the pyarrow footer but Spark reads them as TIMESTAMP already.
+        if not isinstance(df.schema[c].dataType, _T.LongType):
+            continue
         # integer `div`, NOT `/`: float division casts the ns long to
         # double (> 2^53) and loses up to ~256 ns before flooring
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
