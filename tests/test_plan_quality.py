@@ -235,3 +235,31 @@ def test_containment_no_cartesian(spark, sf_dir):
     # inverted-index self-join: key is the shingle, never a cross join
     f = _facts(spark, sf_dir, "dedup_containment")
     assert f.cartesian == 0
+
+
+def test_event_transitions_broadcast_totals_and_pruned_scan(spark, sf_dir):
+    f = _facts(spark, sf_dir, "event_transitions")
+    assert f.broadcast_joins >= 1 and f.sort_merge_joins == 0
+    assert f.scans_only_columns("user_id", "ts", "event_id", "event_type"), f.read_schemas
+
+
+def test_chi2_marginals_broadcast(spark, sf_dir):
+    # row/column/grand totals all derive from the tiny cell frame and
+    # must broadcast back — never shuffle the fact table again
+    f = _facts(spark, sf_dir, "chi2_type_value")
+    assert f.broadcast_joins >= 3 and f.sort_merge_joins == 0
+    assert f.scans_only_columns("event_type", "value"), f.read_schemas
+
+
+def test_nearest_centroid_centroids_broadcast(spark, sf_dir):
+    # |labels| x dims centroid table joins the exploded vectors via
+    # broadcast; a sort-merge here would shuffle every (vec, dim) row
+    f = _facts(spark, sf_dir, "nearest_centroid_confusion")
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    # new-index x base-index must equi-join on the shingle key
+    f = _facts(spark, sf_dir, "dedup_incremental")
+    assert f.cartesian == 0
