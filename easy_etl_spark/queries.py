@@ -564,3 +564,4 @@ from . import queries_wave5  # noqa: E402,F401
 from . import queries_wave6  # noqa: E402,F401
 from . import queries_wave7  # noqa: E402,F401
 from . import queries_wave8  # noqa: E402,F401
+from . import queries_wave9  # noqa: E402,F401

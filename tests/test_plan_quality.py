@@ -263,3 +263,22 @@ def test_incremental_dedup_no_cartesian(spark, sf_dir):
     # new-index x base-index must equi-join on the shingle key
     f = _facts(spark, sf_dir, "dedup_incremental")
     assert f.cartesian == 0
+
+
+def test_triangle_count_degree_joins_broadcast_no_cartesian(spark, sf_dir):
+    f = _facts(spark, sf_dir, "triangle_count")
+    assert f.cartesian == 0
+    assert f.scans_only_columns("l_orderkey", "l_partkey"), f.read_schemas
+
+
+def test_dau_wau_no_window_single_scan(spark, sf_dir):
+    # the whole rolling-distinct computation must run windowless
+    f = _facts(spark, sf_dir, "dau_wau_stickiness")
+    assert "Window" not in f.text
+    assert f.scans_only_columns("user_id", "ts"), f.read_schemas
+
+
+def test_cusum_window_partitioned_and_stats_broadcast(spark, sf_dir):
+    f = _facts(spark, sf_dir, "cusum_changepoints")
+    assert f.broadcast_joins >= 1 and f.sort_merge_joins == 0
+    assert "No Partition Defined" not in f.text, "CUSUM window must partition by type"
