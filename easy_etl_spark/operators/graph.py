@@ -142,3 +142,40 @@ def pagerank_until(
         if delta <= tol_units:
             break
     return ranks, rounds, delta
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded BFS: exact hop distance (<= max_hops) from ``source``
+    over a DIRECTED edge list (pass both directions for undirected
+    graphs). Returns (v, d).
+
+    Pregel-on-relational frontier expansion: each round joins the
+    current distance set with the edge list (shuffle keyed by the
+    node id) and keeps the min distance. A node's distance is final
+    the round it first appears, so a stable node count means
+    convergence — the early exit makes max_hops a cap, not a cost.
+    localCheckpoint truncates the growing lineage like pagerank_until.
+    """
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], ["v", "d"]).select(
+        F.col("v").cast("long"), F.col("d").cast("long")
+    )
+    n_prev = 1
+    for _ in range(max_hops):
+        nxt = dist.join(edges, dist["v"] == edges[src_col]).select(
+            F.col(dst_col).alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionAll(nxt).groupBy("v").agg(F.min("d").alias("d")).localCheckpoint()
+        )
+        n_now = dist.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return dist

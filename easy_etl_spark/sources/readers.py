@@ -100,3 +100,16 @@ def incremental_sql_extract(
     return spark.sql(
         resolve_sql(sql).replace("{}", str(high_watermark(target, pk_field)))
     )
+
+
+def binary_file_scan(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Raw-binary ingest (images/audio/model shards) via Spark's
+    built-in `binaryFile` source: one row per file with (path,
+    modificationTime, length, content). The multimodal entry point —
+    feed the `content` column to operators/multimodal.py. Filter on
+    `length`/`path` BEFORE touching `content`: those come from file
+    metadata and prune without reading payload bytes."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

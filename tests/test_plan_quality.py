@@ -282,3 +282,9 @@ def test_cusum_window_partitioned_and_stats_broadcast(spark, sf_dir):
     f = _facts(spark, sf_dir, "cusum_changepoints")
     assert f.broadcast_joins >= 1 and f.sort_merge_joins == 0
     assert "No Partition Defined" not in f.text, "CUSUM window must partition by type"
+
+
+def test_skew_profile_uses_takeordered_not_global_sort(spark, sf_dir):
+    f = _facts(spark, sf_dir, "join_key_skew_profile")
+    assert "TakeOrderedAndProject" in f.text, "top-10 must be a bounded heap, not a sort"
+    assert f.scans_only_columns("o_custkey"), f.read_schemas
