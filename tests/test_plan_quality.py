@@ -288,3 +288,23 @@ def test_skew_profile_uses_takeordered_not_global_sort(spark, sf_dir):
     f = _facts(spark, sf_dir, "join_key_skew_profile")
     assert "TakeOrderedAndProject" in f.text, "top-10 must be a bounded heap, not a sort"
     assert f.scans_only_columns("o_custkey"), f.read_schemas
+
+
+def test_attribution_single_window_pass_no_self_join(spark, sf_dir):
+    # both touch lookbacks must share one user-partitioned window; the
+    # naive purchases x history self-join would show extra joins here
+    f = _facts(spark, sf_dir, "attribution_touch")
+    assert f.sort_merge_joins == 0 and f.cartesian == 0
+    assert f.scans_only_columns("user_id", "ts", "event_id", "event_type"), f.read_schemas
+
+
+def test_keyword_tfidf_df_table_broadcast(spark, sf_dir):
+    f = _facts(spark, sf_dir, "keyword_tfidf_top3")
+    assert f.broadcast_joins >= 1, "vocab-sized df table must broadcast"
+    assert f.scans_only_columns("doc_id", "text"), f.read_schemas
+
+
+def test_robust_mad_windows_partitioned(spark, sf_dir):
+    f = _facts(spark, sf_dir, "robust_outliers_mad")
+    assert "No Partition Defined" not in f.text, "MAD rank windows must partition by type"
+    assert f.sort_merge_joins == 0
