@@ -284,6 +284,59 @@ class ParquetSink:
             )
         return sorted(out)
 
+    def delete_where(self, condition) -> int:
+        """Targeted delete (GDPR/right-to-be-forgotten purge, bad-batch
+        rollback): remove every row matching ``condition`` (a Column or
+        SQL string; NULL predicates keep the row). Returns rows deleted.
+
+        On a hive-partitioned table only the partitions that actually
+        contain matches are rewritten — the 100 TB difference between
+        O(matching partitions) and O(table). Each touched partition is
+        rewritten to a staging dir and atomically swapped (same crash
+        posture as _swap_write); partitions whose rows are all purged
+        are removed outright. Unpartitioned tables fall back to one
+        full rewrite. On a lakehouse deployment this maps to
+        DELETE FROM with Delta/Iceberg file-level skipping.
+        """
+        current = self.read()
+        if current is None:
+            return 0
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond, F.lit(False))
+        n_deleted = current.filter(hit).count()
+        if n_deleted == 0:
+            return 0
+        if not self.partition_by:
+            self._swap_write(current.filter(~hit))
+            return n_deleted
+        touched = current.filter(hit).select(*self.partition_by).distinct().collect()
+        payload_cols = [c for c in current.columns if c not in self.partition_by]
+        for row in touched:
+            part_pred = None
+            for c in self.partition_by:
+                p = F.col(c) == F.lit(row[c])
+                part_pred = p if part_pred is None else (part_pred & p)
+            subdir = "/".join(f"{c}={row[c]}" for c in self.partition_by)
+            pdir = os.path.join(self.path, subdir)
+            # fresh read per partition: earlier swaps invalidated the
+            # original file listing; partition pruning keeps this a
+            # metadata-only re-list plus a one-directory scan
+            keep = self.read().filter(part_pred).filter(~hit).select(*payload_cols)
+            if keep.isEmpty():
+                shutil.rmtree(pdir, ignore_errors=True)
+                continue
+            staging = f"{self.path}.__pstage_{uuid.uuid4().hex[:8]}"
+            keep.write.mode("overwrite").parquet(staging)
+            old = f"{self.path}.__pold_{uuid.uuid4().hex[:8]}"
+            os.replace(pdir, old)
+            try:
+                os.replace(staging, pdir)
+            except BaseException:
+                os.replace(old, pdir)
+                raise
+            shutil.rmtree(old)
+        return n_deleted
+
     def compact(self, target_rows_per_file: int = 1_000_000) -> int:
         """Small-file compaction: rewrite the table so each output file
         holds ~target_rows_per_file rows. THE standing maintenance job

@@ -56,3 +56,45 @@ def test_binary_file_scan_reads_bytes_and_globs(spark, tmp_path):
     assert got == {"a.bin": b"\x00\x01payload-a", "b.bin": b"payload-b"}
     for r in rows:
         assert r.length == len(got[r.path.rsplit("/", 1)[-1]])
+
+
+def test_delete_where_rewrites_only_touched_partitions(spark, tmp_path):
+    import os
+
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "t"), partition_by=["grp"])
+    rows = [Row(uid=i, grp=("a" if i < 10 else "b" if i < 20 else "c"), val=i * 1.0)
+            for i in range(30)]
+    sink.append(spark.createDataFrame(rows))
+
+    untouched_files = {
+        f: os.path.getmtime(f) for f in sink.data_files() if "/grp=c/" in f
+    }
+    # delete two users from partition a, ALL of partition b, none of c
+    n = sink.delete_where("(grp = 'a' AND uid IN (1, 2)) OR grp = 'b'")
+    assert n == 12
+
+    left = sink.read().select("uid", "grp").collect()
+    assert {r.uid for r in left if r.grp == "a"} == set(range(10)) - {1, 2}
+    assert not [r for r in left if r.grp == "b"]
+    assert {r.uid for r in left if r.grp == "c"} == set(range(20, 30))
+    assert not os.path.exists(str(tmp_path / "t" / "grp=b"))
+    # partition c was never rewritten: same files, same mtimes
+    after = {f: os.path.getmtime(f) for f in sink.data_files() if "/grp=c/" in f}
+    assert after == untouched_files
+
+
+def test_delete_where_null_predicate_keeps_rows_and_unpartitioned_path(spark, tmp_path):
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "u"))
+    sink.append(
+        spark.createDataFrame(
+            [Row(uid=1, tag="x"), Row(uid=2, tag=None), Row(uid=3, tag="y")]
+        )
+    )
+    # NULL tag makes the predicate NULL -> row must survive
+    assert sink.delete_where("tag = 'x'") == 1
+    assert {r.uid for r in sink.read().collect()} == {2, 3}
+    assert sink.delete_where("tag = 'zzz'") == 0
