@@ -308,3 +308,17 @@ def test_robust_mad_windows_partitioned(spark, sf_dir):
     f = _facts(spark, sf_dir, "robust_outliers_mad")
     assert "No Partition Defined" not in f.text, "MAD rank windows must partition by type"
     assert f.sort_merge_joins == 0
+
+
+def test_split_census_no_shuffle_before_agg(spark, sf_dir):
+    # md5 bucketing is a per-row map: exactly one exchange (the census
+    # aggregate; formatted explain prints nodes twice)
+    f = _facts(spark, sf_dir, "train_val_test_split")
+    assert f.exchanges <= 2, f.text
+    assert f.scans_only_columns("doc_id", "source", "n_chars"), f.read_schemas
+
+
+def test_destutter_windows_partition_by_doc(spark, sf_dir):
+    f = _facts(spark, sf_dir, "destutter_tokens")
+    assert "No Partition Defined" not in f.text
+    assert f.scans_only_columns("doc_id", "text"), f.read_schemas
