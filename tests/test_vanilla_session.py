@@ -91,3 +91,36 @@ def test_wave7_queries_self_sufficient(confless, sf_dir):
         "language_id",
     ):
         assert QUERIES[name](confless, sf_dir).count() > 0, name
+
+
+def test_wave8_to_12_queries_self_sufficient(confless, sf_dir):
+    """Waves 8-12 under a conf-stripped session: one representative
+    per new family (events-table entries exercise the ns-timestamp
+    path; the rest guard against any builder-conf dependence)."""
+    from easy_etl_spark.queries import QUERIES
+
+    for name in (
+        "event_transitions",
+        "golden_record_users",
+        "dedup_incremental",
+        "ols_trend_by_type",
+        "chi2_type_value",
+        "label_centroids",
+        "nearest_centroid_confusion",
+        "events_interpolate",
+        "triangle_count",
+        "dau_wau_stickiness",
+        "pareto_revenue_deciles",
+        "cusum_changepoints",
+        "skyline_parts",
+        "bfs_hop_histogram",
+        "join_key_skew_profile",
+        "attribution_touch",
+        "keyword_tfidf_top3",
+        "robust_outliers_mad",
+        "train_val_test_split",
+        "source_overlap_matrix",
+        "destutter_tokens",
+        "growth_wow",
+    ):
+        assert QUERIES[name](confless, sf_dir).count() > 0, name
