@@ -31,6 +31,14 @@ CASES = [
     "events_resample_fill",
     "events_dedup",
     "corr_stats",
+    # waves 8-12: interpolation / regression / robust stats / growth —
+    # all integer-unit exact inside, doubles only at the surface
+    "events_interpolate",
+    "ols_trend_by_type",
+    "golden_record_users",
+    "robust_outliers_mad",
+    "growth_wow",
+    "pareto_revenue_deciles",
 ]
 
 
