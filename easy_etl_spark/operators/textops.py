@@ -370,3 +370,44 @@ def winnow_fingerprints(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("__fp").alias("min_fp"),
     )
+
+
+def destutter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse runs of consecutive repeated tokens ("the the the" ->
+    "the") — standard crawl-text cleanup ahead of tokenizer training.
+    Returns (id, n_before, n_after, cleaned_text, cleaned_fp).
+
+    posexplode -> per-doc lag window -> filter -> deterministic
+    re-assembly: sort_array over (pos, tok) structs, NOT a bare
+    collect_list (whose order follows partitioning). Everything
+    partitions by the doc id; no global operation."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    kept = toks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNull() | (F.col("tok") != F.col("prev"))
+    )
+    before = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_before"))
+    cleaned = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ),
+    )
+    after = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_after"),
+        cleaned.alias("cleaned_text"),
+    )
+    return before.join(after, id_col).select(
+        id_col,
+        "n_before",
+        "n_after",
+        "cleaned_text",
+        F.md5("cleaned_text").alias("cleaned_fp"),
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup
 from .operators.sampling import md5_uniform
-from .operators.textops import tokens
+from .operators.textops import destutter
 from .queries import register
 from .session import load_table
 
@@ -165,34 +165,11 @@ def destutter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 fingerprint of the cleaned text (content-checkable without
     shipping megabyte strings through the result).
 
-    Scale: posexplode -> per-doc lag window -> filter -> re-assemble
-    via sort_array over (pos, tok) structs (deterministic regardless
-    of partitioning — a bare collect_list is not). Everything
-    partitions by doc_id; no global operation anywhere."""
+    Scale: see operators/textops.destutter (posexplode -> per-doc lag
+    window -> deterministic sort_array re-assembly; everything
+    partitions by doc_id)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    kept = toks.withColumn("prev", F.lag("tok").over(w)).filter(
-        F.col("prev").isNull() | (F.col("tok") != F.col("prev"))
-    )
-    before = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_before"))
-    after = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_after"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "tok"))
-                    ),
-                    lambda s: s["tok"],
-                ),
-            )
-        ).alias("cleaned_fp"),
-    )
-    return before.join(after, "doc_id")
+    return destutter(docs).select("doc_id", "n_before", "n_after", "cleaned_fp")
 
 
 # ----------------------------------------------------------------------

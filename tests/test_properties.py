@@ -326,3 +326,36 @@ def test_zorder_key_matches_python_interleave_and_is_injective(spark, pairs):
     expected = {(a, b): py_z(a, b) for a, b in pairs}
     assert got == expected
     assert len(set(got.values())) == len(pairs)  # injective
+
+
+_stutter_tokens = st.lists(st.sampled_from(["a", "b", "cc", "d"]), min_size=1, max_size=12)
+
+
+@given(docs=st.lists(_stutter_tokens, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_destutter_matches_groupby_and_is_idempotent(spark, docs):
+    from itertools import groupby
+
+    from easy_etl_spark.operators.textops import destutter
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in destutter(frame).collect()}
+    for i, toks in enumerate(docs):
+        cleaned = [k for k, _ in groupby(toks)]
+        assert got[i].n_before == len(toks)
+        assert got[i].n_after == len(cleaned)
+        assert got[i].cleaned_text == " ".join(cleaned)
+    # idempotence: cleaning the cleaned text changes nothing
+    again = {
+        r.doc_id: r
+        for r in destutter(
+            spark.createDataFrame(
+                [(i, got[i].cleaned_text) for i in got], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    for i in got:
+        assert again[i].n_before == again[i].n_after == got[i].n_after
+        assert again[i].cleaned_fp == got[i].cleaned_fp
