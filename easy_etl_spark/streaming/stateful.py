@@ -98,3 +98,61 @@ def user_profile_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame
             timeMode="None",
         )
     )
+
+
+TRANSITION_OUT_SCHEMA = "user_id bigint, prev_type string, next_type string"
+TRANSITION_STATE_SCHEMA = "last_type string"
+
+
+def transition_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch `event_transitions` query: emits one
+    (user_id, prev_type, next_type) row per consecutive event pair in
+    each user's stream, with the LAST event type carried across
+    micro-batch boundaries in managed state (the pair that straddles a
+    batch boundary is emitted too — a per-batch window join can't see
+    it).
+
+    Rows inside a micro-batch are sorted by (ts, event_id) — the same
+    total order as the batch query — before pairing; across batches
+    the source must deliver each key's data in event-time order (true
+    for replayed logs and for any watermark-ordered upstream).
+    Downstream, aggregate the emitted pairs into the transition matrix
+    with a normal streaming groupBy count. State is one string per
+    user; scale is the number of live keys."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        (last_type,) = state.get if state.exists else (None,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            yield pd.DataFrame({"user_id": [], "prev_type": [], "next_type": []})
+            return
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        types = batch["event_type"].tolist()
+        prevs, nexts = [], []
+        prev = last_type
+        for t in types:
+            if prev is not None:
+                prevs.append(prev)
+                nexts.append(t)
+            prev = t
+        state.update((prev,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(prevs),
+                "prev_type": prevs,
+                "next_type": nexts,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TRANSITION_OUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

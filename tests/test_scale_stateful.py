@@ -162,3 +162,47 @@ def test_sketch_quantiles_theta_bounded_error(spark, sf_dir):
         assert e["p40"] <= got[k]["p50_est"] <= e["p60"], k
         assert e["p90"] <= got[k]["p95_est"] <= e["p99"], k
         assert abs(got[k]["orders_est"] - e["n_orders"]) <= max(1, 0.05 * e["n_orders"]), k
+
+
+def test_stateful_transitions_match_batch_across_batch_boundary(spark, sf_dir, tmp_path):
+    """The streaming transition emitter must reproduce the batch
+    transition counts EXACTLY — including pairs straddling micro-batch
+    boundaries, which only the carried state can see. The events table
+    is split into two time-ordered files replayed one per trigger."""
+    from easy_etl_spark.queries import QUERIES
+    from easy_etl_spark.streaming.stateful import transition_events_stream
+
+    events = load_table(spark, sf_dir, "events")
+    d = tmp_path / "ev"
+    d.mkdir()
+    # two time-ordered chunks -> the second trigger continues mid-stream
+    events.filter(F.col("ts") < F.lit("2024-01-15")).coalesce(1).write.parquet(
+        str(d / "a.parquet")
+    )
+    events.filter(F.col("ts") >= F.lit("2024-01-15")).coalesce(1).write.parquet(
+        str(d / "b.parquet")
+    )
+    stream = spark.readStream.option("maxFilesPerTrigger", 1).schema(
+        events.schema
+    ).parquet(str(d) + "/*.parquet")
+    out = transition_events_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_transitions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.table("t_transitions")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in QUERIES["event_transitions"](spark, sf_dir).collect()
+    }
+    assert got == want and got
