@@ -420,3 +420,43 @@ def int_ivf_neighbors(
     )
     w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k most-similar corpus vectors with a DIFFERENT label — the
+    near-misses that make the best negatives (random negatives are too
+    easy to teach a margin). Same scan/broadcast/top-k-window posture
+    as brute_force_topk; the label inequality rides the join condition,
+    so same-label pairs never materialize."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = emb.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lab"), v.alias("__v")
+    ).withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    q = emb.select(
+        F.col(id_col).alias("__qid"), F.col(label_col).alias("__qlab"), v.alias("__qv")
+    ).join(
+        queries.select(F.col(id_col).alias("__qid")), "__qid"
+    ).withColumn("__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
+    scored = corpus.join(
+        F.broadcast(q), F.col("__lab") != F.col("__qlab")
+    ).select(
+        F.col("__qid").alias("query_id"),
+        F.col("__qlab").alias("query_label"),
+        F.col("__id").alias("negative_id"),
+        F.col("__lab").alias("negative_label"),
+        F.round(
+            _dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
