@@ -460,3 +460,98 @@ def hard_negatives(
         F.col("cosine").desc(), F.col("negative_id")
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+MMR_SCHEMA = (
+    "query_id bigint, pick_rank bigint, neighbor_id bigint, "
+    "rel double, mmr_units bigint"
+)
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k_cand: int = 10,
+    k_out: int = 5,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-ranking: from each
+    query's top-k_cand exact neighbors, greedily select k_out that
+    trade relevance against redundancy —
+    score(c) = lam*rel(c) − (1−lam)·max_{s∈selected} sim(c, s),
+    ties broken by neighbor id. The sequential greedy argmax is
+    inherently per-group iterative — exactly the shape Spark's
+    built-ins can't express and applyInPandas can: each query's
+    candidate set (k_cand rows + vectors) arrives as one pandas group.
+
+    Portability: dot products use an explicit left-fold (same
+    accumulation order as the Column-algebra `aggregate` fold and
+    DuckDB's list_sum), relevance is the pre-rounded cosine from
+    brute_force_topk, and the emitted score is floor-quantized to
+    micro-units — so a SQL engine replaying the greedy unrolled
+    step-by-step reproduces every pick and score bit-for-bit.
+
+    Scale: candidate generation is the kNN (or any ANN drop-in); the
+    re-rank itself touches k_cand rows per query — pure per-group work,
+    partitioned by query_id, no cross-query traffic."""
+    import math
+
+    import pandas as pd
+
+    cand = brute_force_topk(emb, queries, k=k_cand, id_col=id_col, vec_col=vec_col)
+    vecs = _normed(emb, id_col, vec_col).select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("vec"),
+        F.col("__n").alias("nrm"),
+    )
+    joined = cand.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "vec", "nrm"
+    )
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        info = {
+            int(r.neighbor_id): (float(r.cosine), list(r.vec), float(r.nrm))
+            for r in pdf.itertuples()
+        }
+        sim_memo = {}
+
+        def sim(a, b):
+            key = (a, b) if a < b else (b, a)
+            if key not in sim_memo:
+                (_, va, na), (_, vb, nb) = info[key[0]], info[key[1]]
+                sim_memo[key] = fold_dot(va, vb) / (na * nb)
+            return sim_memo[key]
+
+        selected, out = [], []
+        remaining = set(info)
+        for rank in range(1, min(k_out, len(info)) + 1):
+            best = None
+            for c in remaining:
+                rel = info[c][0]
+                if selected:
+                    score = lam * rel - (1.0 - lam) * max(sim(c, s) for s in selected)
+                else:
+                    score = lam * rel
+                if best is None or (-score, c) < best[0]:
+                    best = ((-score, c), score)
+            (_, c), score = best
+            selected.append(c)
+            remaining.remove(c)
+            out.append(
+                (qid, rank, c, info[c][0], math.floor(score * 1e6 + 0.5))
+            )
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "pick_rank", "neighbor_id", "rel", "mmr_units"],
+        )
+
+    return joined.groupBy("query_id").applyInPandas(rerank, MMR_SCHEMA)

@@ -571,3 +571,4 @@ from . import queries_wave12  # noqa: E402,F401
 from . import queries_wave13  # noqa: E402,F401
 from . import queries_wave14  # noqa: E402,F401
 from . import queries_wave15  # noqa: E402,F401
+from . import queries_wave16  # noqa: E402,F401
