@@ -572,3 +572,4 @@ from . import queries_wave13  # noqa: E402,F401
 from . import queries_wave14  # noqa: E402,F401
 from . import queries_wave15  # noqa: E402,F401
 from . import queries_wave16  # noqa: E402,F401
+from . import queries_wave17  # noqa: E402,F401
