@@ -12,7 +12,7 @@ Hash-safety follows the catalog conventions (queries.py docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import similarity
