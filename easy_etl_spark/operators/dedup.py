@@ -199,7 +199,13 @@ def containment_pairs(
 def _signatures_from_index(
     idx: DataFrame, num_perm: int, id_col: str, with_sizes: bool = False
 ) -> DataFrame:
-    aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    # hash the shingle STRING once, then derive the num_perm permutation
+    # hashes from that 8-byte value: xxhash64 over a fixed-width long is
+    # ~an order of magnitude cheaper than re-hashing a ~20-byte string
+    # per permutation, and (hash of independent-seeded hash) is the same
+    # minwise family (recall is pinned by the ==-exact-path pytest)
+    idx = idx.withColumn("__h0", F.xxhash64(F.col("__sh")))
+    aggs = [F.min(F.xxhash64(F.col("__h0"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
     if with_sizes:
         # idx rows are distinct (doc, shingle) pairs, so this count IS
         # the shingle-set size — folding it here saves the verifier a
