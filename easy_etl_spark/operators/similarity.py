@@ -555,3 +555,36 @@ def mmr_rerank(
         )
 
     return joined.groupBy("query_id").applyInPandas(rerank, MMR_SCHEMA)
+
+
+COV_PARTIAL_SCHEMA = "d1 int, d2 int, sxy long"
+
+
+def covariance_partials(emb: DataFrame, vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
+    """Per-batch integer partial sums for the embedding covariance
+    matrix: each Arrow batch contributes X^T X over its quantized
+    vectors (one exact int64 numpy matmul), emitted as upper-triangle
+    (d1, d2, sum) rows. Summing partials downstream is exact integer
+    addition — the map-side-combine shape that turns an O(n·d²)
+    computation into one linear pass plus a d²-sized shuffle,
+    regardless of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.floor(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                * scale
+                + 0.5
+            ).astype(np.int64)
+            G = X.T @ X
+            d = G.shape[0]
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"d1": iu[0].astype("int32"), "d2": iu[1].astype("int32"), "sxy": G[iu]}
+            )
+
+    return emb.select(vec_col).mapInPandas(run, COV_PARTIAL_SCHEMA)

@@ -15,7 +15,12 @@ hashes, column-name aligned):
     (per-row decimal quantization → exact order-independent sum;
     rounding alone is NOT enough — IEEE summation-order noise can
     flip a rounded digit, see functions/exact.py);
-  - timestamps in outputs are formatted to strings in both engines.
+  - timestamps in outputs are formatted to strings in both engines;
+  - rounded outputs that can be TINY NEGATIVES get `+ 0.0` appended on
+    both engines: Spark's BigDecimal round drops IEEE -0.0's sign while
+    DuckDB keeps it, and the hash compare distinguishes them (found via
+    embedding_covariance; also applied to slope/intercept, growth_pct,
+    centroid, corr).
 """
 
 from __future__ import annotations
@@ -573,3 +578,4 @@ from . import queries_wave14  # noqa: E402,F401
 from . import queries_wave15  # noqa: E402,F401
 from . import queries_wave16  # noqa: E402,F401
 from . import queries_wave17  # noqa: E402,F401
+from . import queries_wave18  # noqa: E402,F401

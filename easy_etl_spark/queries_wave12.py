@@ -195,7 +195,7 @@ def destutter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, week_num, n_events,
            cents / 100.0 AS revenue,
-           round((cents - prev_cents) * 100.0 / prev_cents, 4) AS growth_pct
+           round((cents - prev_cents) * 100.0 / prev_cents, 4) + 0.0 AS growth_pct
     FROM lagged WHERE prev_cents IS NOT NULL AND prev_cents > 0
     """,
 )
@@ -224,11 +224,14 @@ def growth_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_num",
             "n_events",
             (F.col("cents") / F.lit(100.0)).alias("revenue"),
-            F.round(
-                (F.col("cents") - F.col("prev_cents"))
-                * 100.0
-                / F.col("prev_cents"),
-                4,
+            (
+                F.round(
+                    (F.col("cents") - F.col("prev_cents"))
+                    * 100.0
+                    / F.col("prev_cents"),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("growth_pct"),
         )
     )

@@ -279,7 +279,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sx / n / 100.0, 4) AS mean_qty,
            round(sy / n / 100.0, 4) AS mean_price,
            round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0
              AS corr_qty_price
     FROM s
     """,

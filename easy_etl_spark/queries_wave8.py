@@ -202,10 +202,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n,
            round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-                 / 100.0, 6) AS slope_per_hour,
+                 / 100.0, 6) + 0.0 AS slope_per_hour,
            round(CAST(sy AS DOUBLE) / 100.0 / n
                  - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-                   / 100.0 * (CAST(sx AS DOUBLE) / n), 4) AS intercept
+                   / 100.0 * (CAST(sx AS DOUBLE) / n), 4) + 0.0 AS intercept
     FROM s
     """,
 )
@@ -243,8 +243,10 @@ def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         "n",
-        F.round(slope, 6).alias("slope_per_hour"),
-        F.round(mean_y - slope * mean_x, 4).alias("intercept"),
+        # +0.0 maps a rounded -0.0 to 0.0 on both engines (Spark's
+        # BigDecimal round already loses the sign; DuckDB's keeps it)
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope_per_hour"),
+        (F.round(mean_y - slope * mean_x, 4) + F.lit(0.0)).alias("intercept"),
     )
 
 
@@ -335,7 +337,7 @@ def chi2_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex GROUP BY 1, 2
     )
     SELECT label, d - 1 AS dim, n_vecs,
-           round(CAST(s AS DOUBLE) / n_vecs / 1000000.0, 6) AS centroid
+           round(CAST(s AS DOUBLE) / n_vecs / 1000000.0, 6) + 0.0 AS centroid
     FROM agg
     """,
 )
@@ -363,8 +365,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "dim",
         "n_vecs",
-        F.round(
-            F.col("s").cast("double") / F.col("n_vecs") / F.lit(1000000.0), 6
+        (
+            F.round(
+                F.col("s").cast("double") / F.col("n_vecs") / F.lit(1000000.0), 6
+            )
+            + F.lit(0.0)
         ).alias("centroid"),
     )
 
