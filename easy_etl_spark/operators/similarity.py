@@ -588,3 +588,75 @@ def covariance_partials(emb: DataFrame, vec_col: str = "embedding", scale: int =
             )
 
     return emb.select(vec_col).mapInPandas(run, COV_PARTIAL_SCHEMA)
+
+
+def pca_components(emb: DataFrame, k: int = 2, vec_col: str = "embedding", scale: int = 1000):
+    """Top-k principal components from the EXACT integer covariance
+    (covariance_partials): the d x d matrix collects to the driver
+    (d² cells — tiny for any real embedding width), numpy eigh
+    factorizes it, and the components are sign-canonicalized (largest-
+    magnitude entry positive) so the basis is deterministic. Returns
+    (mean_units, components) as plain numpy arrays ready to broadcast.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    parts = covariance_partials(emb, vec_col=vec_col, scale=scale)
+    cells = parts.groupBy("d1", "d2").agg(F.sum("sxy").alias("sxy")).collect()
+    ex = emb.select(F.posexplode(vec_col).alias("d", "xv")).select(
+        "d",
+        F.floor(F.col("xv").cast("double") * scale + F.lit(0.5))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    sums = {r["d"]: r["s"] for r in ex.groupBy("d").agg(F.sum("xq").alias("s")).collect()}
+    n = emb.count()
+    d = max(sums) + 1
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in cells:
+        G[r["d1"], r["d2"]] = G[r["d2"], r["d1"]] = float(r["sxy"])
+    s = np.array([float(sums[i]) for i in range(d)])
+    cov = (n * G - np.outer(s, s)) / (n * (n - 1))
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    return s / n, W, vals[order]
+
+
+def pca_project(
+    emb: DataFrame, k: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Project every vector onto the top-k principal components:
+    y = (x_q - mean_units) @ W in quantized units. The k x d component
+    matrix broadcasts inside the mapInPandas closure — the projection
+    is one numpy matmul per Arrow batch, a pure linear pass at any
+    corpus size (the classic small-model-broadcast inference shape,
+    same as operators/inference.py)."""
+    import numpy as np
+    import pandas as pd
+
+    mean_units, W, _ = pca_components(emb, k=k, vec_col=vec_col, scale=scale)
+    out_schema = f"{id_col} long, " + ", ".join(f"pc{j+1} double" for j in range(k))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.floor(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                * scale
+                + 0.5
+            )
+            Y = (X - mean_units) @ W / scale
+            out = {id_col: pdf[id_col].astype("int64")}
+            for j in range(W.shape[1]):
+                out[f"pc{j+1}"] = Y[:, j]
+            yield pd.DataFrame(out)
+
+    return emb.select(id_col, vec_col).mapInPandas(run, out_schema)

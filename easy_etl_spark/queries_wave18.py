@@ -95,3 +95,18 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(cov, 6) + F.lit(0.0)).alias("cov"),  # +0.0: -0.0 -> 0.0 both engines
         )
     )
+
+
+@register("pca_project_2d")  # rows-only: eigendecomposition has no SQL replay
+def pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D PCA projection of the embedding corpus (dimensionality
+    reduction for visualization / cheap indexing): components come
+    from the exact integer covariance, eigen-factorized once on the
+    driver and sign-canonicalized, then broadcast into a linear
+    mapInPandas projection pass. Rows-only in the gate (DuckDB cannot
+    replay an eigendecomposition); determinism and correctness are
+    pinned by the numpy-replay pytest instead."""
+    from .operators.similarity import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=2)

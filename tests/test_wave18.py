@@ -30,3 +30,38 @@ def test_embedding_covariance_matches_numpy_exact_replay(spark, sf_dir):
         assert math.isclose(r.cov, expected, abs_tol=1e-6), (r.dim1, r.dim2)
         if r.dim1 == r.dim2:
             assert r.cov >= 0.0
+
+
+def test_pca_projection_matches_numpy_and_is_deterministic(spark, sf_dir):
+    from easy_etl_spark.operators.similarity import pca_components
+    from easy_etl_spark.queries import QUERIES
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in vecs]
+    X = np.floor(
+        np.array([np.asarray(r.embedding, dtype=np.float64) for r in vecs]) * 1000
+        + 0.5
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean_units, W, vals = pca_components(emb, k=2)
+    # replay: same quantized data -> same covariance -> same factorization
+    n = X.shape[0]
+    Xi = X.astype(np.int64)
+    G = Xi.T @ Xi
+    s = Xi.sum(axis=0)
+    cov = (n * G.astype(np.float64) - np.outer(s, s).astype(np.float64)) / (n * (n - 1))
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    Wref = evecs[:, order]
+    for j in range(2):
+        i = int(np.argmax(np.abs(Wref[:, j])))
+        if Wref[i, j] < 0:
+            Wref[:, j] = -Wref[:, j]
+    assert np.array_equal(W, Wref)
+    assert vals[0] >= vals[1] >= 0
+    Yref = (X - mean_units) @ Wref / 1000
+    got = {r.vec_id: (r.pc1, r.pc2) for r in QUERIES["pca_project_2d"](spark, sf_dir).collect()}
+    for i, vid in enumerate(ids):
+        assert got[vid] == (Yref[i, 0], Yref[i, 1])
+    # top component captures at least as much variance as any axis
+    assert vals[0] >= cov.diagonal().max() - 1e-9
