@@ -579,3 +579,4 @@ from . import queries_wave15  # noqa: E402,F401
 from . import queries_wave16  # noqa: E402,F401
 from . import queries_wave17  # noqa: E402,F401
 from . import queries_wave18  # noqa: E402,F401
+from . import queries_wave19  # noqa: E402,F401

@@ -1,0 +1,67 @@
+"""Wave-19 query catalog: native recursive SQL.
+
+New operator family:
+  - recursive_org_rollup   hierarchy traversal with Spark 4's native
+                           WITH RECURSIVE (same SQL shape on both
+                           engines — no DataFrame loop needed)
+
+The earlier iterative operators (dedup_clusters, bfs_hops, pagerank)
+predate usable recursion and keep their explicit Pregel-style loops —
+the right shape when you need checkpointing/convergence control; this
+query covers the OTHER idiom: letting the engine run the fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import register
+from .session import load_table
+
+
+@register(
+    "recursive_org_rollup",
+    """
+    WITH RECURSIVE org AS (
+      SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth,
+             (SELECT c_acctbal FROM customer WHERE c_custkey = 1) AS bal
+      UNION ALL
+      SELECT c.c_custkey, o.depth + 1, c.c_acctbal
+      FROM org o JOIN customer c
+        ON c.c_custkey = 2 * o.k OR c.c_custkey = 2 * o.k + 1
+    )
+    SELECT depth, count(*) AS n,
+           CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM org GROUP BY depth
+    """,
+)
+def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal with the engine's NATIVE recursive CTE
+    (Spark 4's WITH RECURSIVE): customers form an implicit binary org
+    tree (parent of k = k div 2), and the recursion descends from the
+    root collecting per-depth headcount and account-balance cents —
+    the org-chart / BOM-rollup query shape that previously required a
+    driver-side loop. The DuckDB oracle runs the SAME recursive SQL.
+
+    Scale: each recursion level is one equi-ish join of the frontier
+    against the customer dim — the engine materializes level by level
+    exactly like the hand-written Pregel loops (graph.bfs_hops), but
+    plans/reuses it internally; depth is log2(|customers|), so ~30
+    levels even at billions of rows."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE org AS (
+          SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth,
+                 (SELECT c_acctbal FROM customer WHERE c_custkey = 1) AS bal
+          UNION ALL
+          SELECT c.c_custkey, o.depth + 1, c.c_acctbal
+          FROM org o JOIN customer c
+            ON c.c_custkey = 2 * o.k OR c.c_custkey = 2 * o.k + 1
+        )
+        SELECT depth, count(*) AS n,
+               CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS bal_cents
+        FROM org GROUP BY depth
+        """
+    )

@@ -65,3 +65,33 @@ def test_pca_projection_matches_numpy_and_is_deterministic(spark, sf_dir):
         assert got[vid] == (Yref[i, 0], Yref[i, 1])
     # top component captures at least as much variance as any axis
     assert vals[0] >= cov.diagonal().max() - 1e-9
+
+
+def test_recursive_org_rollup_matches_python_tree(spark, sf_dir):
+    import math as _math
+
+    from easy_etl_spark.queries import QUERIES
+
+    cust = {
+        r.c_custkey: r.c_acctbal
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    }
+    levels = {}
+    frontier = [1] if 1 in cust else []
+    depth = 0
+    while frontier:
+        levels[depth] = frontier
+        nxt = []
+        for k in frontier:
+            for c in (2 * k, 2 * k + 1):
+                if c in cust:
+                    nxt.append(c)
+        frontier = nxt
+        depth += 1
+    got = {r.depth: (r.n, r.bal_cents) for r in QUERIES["recursive_org_rollup"](spark, sf_dir).collect()}
+    assert set(got) == set(levels)
+    for d, ks in levels.items():
+        cents = sum(_math.floor(cust[k] * 100 + 0.5) for k in ks)
+        assert got[d] == (len(ks), cents)
