@@ -322,3 +322,34 @@ def test_destutter_windows_partition_by_doc(spark, sf_dir):
     f = _facts(spark, sf_dir, "destutter_tokens")
     assert "No Partition Defined" not in f.text
     assert f.scans_only_columns("doc_id", "text"), f.read_schemas
+
+
+def test_audio_rms_is_pure_map(spark, sf_dir):
+    # decode + window energies happen inside one mapInPandas pass; the
+    # only exchange is the (doc, win) result aggregation inside the UDF
+    f = _facts(spark, sf_dir, "audio_rms_windows")
+    assert f.exchanges == 0, f.text
+    assert f.scans_only_columns("doc_id", "text"), f.read_schemas
+
+
+def test_classifier_eval_single_scan_two_columns(spark, sf_dir):
+    f = _facts(spark, sf_dir, "classifier_eval")
+    assert f.scans_only_columns("event_type", "value"), f.read_schemas
+
+
+def test_hard_negatives_broadcast_queries_no_cartesian(spark, sf_dir):
+    f = _facts(spark, sf_dir, "hard_negative_mining")
+    assert f.broadcast_joins >= 1
+    assert f.cartesian == 0
+
+
+def test_covariance_partials_single_linear_pass(spark, sf_dir):
+    # the d^2 partial cells shuffle once; the vector scan itself must
+    # not shuffle before mapInPandas
+    from easy_etl_spark.operators.similarity import covariance_partials
+    from easy_etl_spark.plans.explain import plan_facts
+    from easy_etl_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = plan_facts(covariance_partials(emb))
+    assert f.exchanges == 0, f.text
