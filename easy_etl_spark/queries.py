@@ -581,3 +581,4 @@ from . import queries_wave17  # noqa: E402,F401
 from . import queries_wave18  # noqa: E402,F401
 from . import queries_wave19  # noqa: E402,F401
 from . import queries_wave20  # noqa: E402,F401
+from . import queries_wave21  # noqa: E402,F401
