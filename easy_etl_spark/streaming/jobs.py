@@ -229,3 +229,52 @@ def enrich_stream(
     is picked up on the next batch) and broadcasts when dimension-sized
     — no streaming state at all, unlike stream-stream joins."""
     return stream.join(F.broadcast(dim), key, how)
+
+
+def foreach_batch_dedup_ingest(
+    stream_df: DataFrame,
+    sink,
+    checkpoint: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataStreamWriter:
+    """Continuous corpus ingestion with incremental dedup: every
+    micro-batch is (1) self-deduplicated (min-id survivor per near-dup
+    cluster within the batch) and (2) checked against the ALREADY
+    LANDED corpus via the batch-vs-index join
+    (operators/dedup.incremental_jaccard_dups) — only novel documents
+    append. This is the streaming production shape of the
+    dedup_incremental query: per-trigger cost tracks the batch, never
+    the corpus (at scale the sink keeps a persisted/bucketed shingle
+    index instead of re-deriving it per batch)."""
+    from ..operators.dedup import (
+        duplicate_clusters,
+        incremental_jaccard_dups,
+        ngram_jaccard_pairs,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df
+        # intra-batch near-dups: keep cluster canonicals (min id)
+        pairs = ngram_jaccard_pairs(batch, threshold=threshold, text_col=text_col, id_col=id_col)
+        losers = (
+            duplicate_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        batch = batch.join(losers, id_col, "left_anti")
+        base = sink.read()
+        if base is not None:
+            dup_new = incremental_jaccard_dups(
+                base, batch, threshold=threshold, text_col=text_col, id_col=id_col
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            batch = batch.join(dup_new, id_col, "left_anti")
+        if not batch.isEmpty():
+            sink.append(batch, safe=True)
+
+    return stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    ).trigger(availableNow=True)

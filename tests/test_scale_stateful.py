@@ -206,3 +206,42 @@ def test_stateful_transitions_match_batch_across_batch_boundary(spark, sf_dir, t
         for r in QUERIES["event_transitions"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_streaming_dedup_ingest_lands_only_novel_docs(spark, sf_dir, tmp_path):
+    """Continuous-ingestion dedup: after streaming the corpus in two
+    batches through foreach_batch_dedup_ingest, the landed table is
+    pairwise near-dup-free and every isolated (dup-less) doc arrived."""
+    from easy_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from easy_etl_spark.sources.sinks import ParquetSink
+    from easy_etl_spark.streaming.jobs import foreach_batch_dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    d = tmp_path / "docs"
+    d.mkdir()
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(str(d / "a.parquet"))
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(str(d / "b.parquet"))
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(docs.schema)
+        .parquet(str(d) + "/*.parquet")
+    )
+    sink = ParquetSink(spark, str(tmp_path / "corpus"))
+    q = foreach_batch_dedup_ingest(
+        stream, sink, checkpoint=str(tmp_path / "ckpt"), threshold=0.8
+    ).start()
+    q.awaitTermination()
+
+    landed = sink.read()
+    assert landed is not None
+    landed_ids = {r.doc_id for r in landed.select("doc_id").collect()}
+    # 1) the landed corpus is pairwise near-dup free
+    assert ngram_jaccard_pairs(landed, threshold=0.8).count() == 0
+    # 2) docs that near-dup nothing all arrived
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    paired = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert (all_ids - paired) <= landed_ids
+    # 3) dedup actually dropped something (the corpus plants near-dups)
+    assert paired and len(landed_ids) < len(all_ids)
