@@ -56,3 +56,37 @@ def test_vocab_coverage_matches_python_curve(spark, sf_dir):
         assert got[pct].vocab_size == size
         assert got[pct].total_tokens == total
     assert got[50].vocab_size <= got[90].vocab_size <= got[99].vocab_size
+
+
+def test_conversion_latency_matches_python(spark, sf_dir):
+    import math
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    signup, purchases = {}, defaultdict(list)
+    for r in events:
+        if r.event_type == "signup":
+            signup[r.user_id] = min(signup.get(r.user_id, r.ts), r.ts)
+        elif r.event_type == "purchase":
+            purchases[r.user_id].append(r.ts)
+    lats = []
+    for u, su in signup.items():
+        after = [p for p in purchases.get(u, []) if p > su]
+        if after:
+            lats.append(
+                int(min(after).timestamp()) - int(su.timestamp())
+            )
+    lats.sort()
+
+    def interp(q):
+        n = len(lats)
+        lo = math.floor((n - 1) * q)
+        frac = (n - 1) * q - lo
+        hi = min(lo + 1, n - 1)
+        return lats[lo] + (lats[hi] - lats[lo]) * frac
+
+    got = QUERIES["conversion_latency"](spark, sf_dir).collect()[0]
+    assert got.n_converted == len(lats) > 0
+    assert got.p50_minutes == round(interp(0.5) / 60.0, 4)
+    assert got.p90_minutes == round(interp(0.9) / 60.0, 4)
