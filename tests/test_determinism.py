@@ -39,6 +39,14 @@ CASES = [
     "robust_outliers_mad",
     "growth_wow",
     "pareto_revenue_deciles",
+    # waves 13-24 float surfaces
+    "chi2_type_value",
+    "winsorize_values",
+    "classifier_eval",
+    "ndcg_retrieval_eval",
+    "embedding_covariance",
+    "conversion_latency",
+    "item_recommendations",
 ]
 
 

@@ -353,3 +353,33 @@ def test_covariance_partials_single_linear_pass(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     f = plan_facts(covariance_partials(emb))
     assert f.exchanges == 0, f.text
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir):
+    f = _facts(spark, sf_dir, "winsorize_values")
+    assert f.broadcast_joins >= 1 and f.sort_merge_joins == 0
+    assert "No Partition Defined" not in f.text
+
+
+def test_item_recommendations_broadcast_no_cartesian(spark, sf_dir):
+    f = _facts(spark, sf_dir, "item_recommendations")
+    assert f.cartesian == 0
+    assert f.broadcast_joins >= 2, "anchor and popularity frames must broadcast"
+    assert f.scans_only_columns("l_orderkey", "l_partkey"), f.read_schemas
+
+
+def test_interpolate_windows_partition_by_type(spark, sf_dir):
+    f = _facts(spark, sf_dir, "events_interpolate")
+    assert "No Partition Defined" not in f.text
+    assert f.scans_only_columns("event_type", "ts", "value"), f.read_schemas
+
+
+def test_growth_wow_window_partitioned(spark, sf_dir):
+    f = _facts(spark, sf_dir, "growth_wow")
+    assert "No Partition Defined" not in f.text
+    assert f.scans_only_columns("event_type", "ts", "value"), f.read_schemas
+
+
+def test_mmr_no_cartesian(spark, sf_dir):
+    f = _facts(spark, sf_dir, "mmr_rerank_topk")
+    assert f.cartesian == 0
