@@ -84,6 +84,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
         .distinct()
+        # the edge list feeds FOUR consumers (degrees, orientation, the
+        # closing join, the edge count) — without persist each one
+        # replays the lineitem self-join + distinct
+        .persist()
     )
     nodes = edges.select(F.col("a").alias("v")).unionAll(
         edges.select(F.col("b").alias("v"))
@@ -98,7 +102,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    ).persist()  # consumed twice by the wedge self-join
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
