@@ -137,16 +137,18 @@ def corpus_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ntok).alias("n_tokens"),
         )
 
-    curated = curate_corpus(docs, quality_threshold=0.5, jaccard_threshold=0.8)
+    # each stage feeds BOTH its census row and the next stage — persist
+    # the small id frames so the curation/shingle chain runs once
+    curated = curate_corpus(docs, quality_threshold=0.5, jaccard_threshold=0.8).persist()
     traincands = curated.filter(F.col("doc_id") % 50 != 0).select("doc_id")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     flagged = decontaminate(
         docs.join(traincands, "doc_id"), bench, n=3
     ).select("doc_id")
-    decon = traincands.join(flagged, "doc_id", "left_anti")
+    decon = traincands.join(flagged, "doc_id", "left_anti").persist()
     capped = cap_sources_by_budget(
         docs.join(decon, "doc_id"), budget_tokens=BUDGET_PER_SOURCE
-    )
+    ).persist()
     train = capped.filter(md5_uniform(F.col("doc_id"), 100) < 80)
 
     capped_census = capped.agg(
