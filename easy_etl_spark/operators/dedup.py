@@ -584,3 +584,58 @@ def md5_simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.lit(0).cast("long"),
     )
     return agg.select(F.col("__id").alias(id_col), packed.alias("simhash32"))
+
+
+def write_shingle_index(
+    docs: DataFrame, path: str, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Materialize the corpus shingle index as parquet laid out FOR the
+    incremental join: repartitioned by the shingle key with in-file
+    sort, so the daily batch-vs-index equi-join scans co-located,
+    run-length-friendly buckets instead of re-deriving shingles for
+    the whole corpus every day. (On a lakehouse deployment this is a
+    bucketed table; plain parquet keeps the test environment simple.)"""
+    idx = _shingle_index(docs, text_col, id_col, k).select(
+        F.col("__id").alias("doc_id"), F.col("__sh").alias("shingle")
+    )
+    idx.repartition(F.col("shingle")).sortWithinPartitions("shingle").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def incremental_dups_against_index(
+    base_index: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """incremental_jaccard_dups against a PRE-BUILT base index (the
+    production shape: the index is written once by write_shingle_index
+    and only the arriving batch computes shingles). base_index columns:
+    (doc_id, shingle). Returns (new_id, base_id, jaccard) — identical
+    results to the recompute-from-docs path (pytest-pinned)."""
+    bi = base_index.select(
+        F.col("doc_id").alias("__bid"), F.col("shingle").alias("__sh")
+    )
+    ni = _shingle_index(new, text_col, id_col, k).select(
+        F.col("__id").alias("__nid"), F.col("__sh").alias("__sh")
+    )
+    b_sizes = bi.groupBy("__bid").agg(F.count(F.lit(1)).alias("__nb"))
+    n_sizes = ni.groupBy("__nid").agg(F.count(F.lit(1)).alias("__nn"))
+    inter = (
+        ni.join(bi, "__sh")
+        .groupBy(F.col("__nid").alias("new_id"), F.col("__bid").alias("base_id"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.round(
+        F.col("__inter") / (F.col("__nn") + F.col("__nb") - F.col("__inter")), 4
+    )
+    return (
+        inter.join(n_sizes.withColumnRenamed("__nid", "new_id"), "new_id")
+        .join(b_sizes.withColumnRenamed("__bid", "base_id"), "base_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
+    )

@@ -98,3 +98,26 @@ def test_delete_where_null_predicate_keeps_rows_and_unpartitioned_path(spark, tm
     assert sink.delete_where("tag = 'x'") == 1
     assert {r.uid for r in sink.read().collect()} == {2, 3}
     assert sink.delete_where("tag = 'zzz'") == 0
+
+
+def test_persisted_shingle_index_matches_recompute_path(spark, sf_dir, tmp_path):
+    from easy_etl_spark.operators.dedup import (
+        incremental_dups_against_index,
+        incremental_jaccard_dups,
+        write_shingle_index,
+    )
+    from easy_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 10 < 8")
+    new = docs.filter("doc_id % 10 >= 8")
+    write_shingle_index(base, str(tmp_path / "idx"))
+    via_index = incremental_dups_against_index(
+        spark.read.parquet(str(tmp_path / "idx")), new, threshold=0.8
+    ).collect()
+    via_docs = incremental_jaccard_dups(base, new, threshold=0.8).collect()
+    key = lambda r: (r.new_id, r.base_id)  # noqa: E731
+    assert sorted(
+        [(r.new_id, r.base_id, r.jaccard) for r in via_index]
+    ) == sorted([(r.new_id, r.base_id, r.jaccard) for r in via_docs])
+    assert via_docs, "planted near-dups must cross the base/new split"
