@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from .functions.exact import dec_avg, dec_sum, sql_avg, sql_sum
 from .operators.links import asof_link, link, with_surrogate_id
 from .session import load_table
-from .sources.readers import incremental_sql_extract, python_source
+from .sources.readers import incremental_sql_extract
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.exact import dec_sum, sql_avg, sql_sum
+from .functions.exact import dec_sum, sql_sum
 from .queries import register
 from .session import load_table
 

@@ -169,8 +169,7 @@ def test_curate_corpus_lsh_path_matches_exact(spark, sf_dir):
 
 def test_quantize_int8_roundtrip_bound(spark):
     from easy_etl_spark.operators.similarity import quantize_int8
-    from pyspark.sql import functions as F
-
+    
     emb = spark.createDataFrame(
         [(1, [0.0, 1.0, 2.0, 255.0]), (2, [-1.5, 0.0, 1.5, 3.0]), (3, [7.0, 7.0, 7.0, 7.0])],
         "vec_id bigint, embedding array<float>",
