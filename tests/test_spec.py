@@ -63,3 +63,39 @@ def test_expect_schema_allows_extra_columns(spark, sf_dir):
     df = load_table(spark, sf_dir, "nation")
     out = expect_schema(df, {"n_nationkey": dict(df.dtypes)["n_nationkey"]})
     assert out is df
+
+
+def test_spec_asof_link_matches_code_path(spark, sf_dir):
+    register_views(spark, sf_dir)
+    from easy_etl_spark.session import load_table as _lt
+
+    li_dim = (
+        _lt(spark, sf_dir, "lineitem")
+        .select("l_shipdate")
+        .distinct()
+        .selectExpr("l_shipdate AS ship_key")
+    )
+    spec = {
+        "extract": "SELECT o_orderkey, o_orderdate FROM orders",
+        "links": [
+            {
+                "field": "o_orderdate",
+                "table": "shipdates",
+                "child_field": "ship_key",
+                "name": "next_ship_id",
+                "closest": ">=",
+            }
+        ],
+    }
+    from_spec = pipeline_from_spec(
+        spark, spec, tables={"shipdates": li_dim}
+    ).dataframe()
+    code = EtlPipeline(spark).extract("SELECT o_orderkey, o_orderdate FROM orders")
+    code.link_closest(
+        "o_orderdate", li_dim, "ship_key", name="next_ship_id", method=">="
+    )
+    from_code = code.dataframe()
+    key = lambda r: r["o_orderkey"]  # noqa: E731
+    assert sorted(from_spec.collect(), key=key) == sorted(
+        from_code.collect(), key=key
+    )
