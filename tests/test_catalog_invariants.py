@@ -1,0 +1,100 @@
+"""Whole-catalog structural invariants: every registered query's
+compiled plan, checked in one sweep (plan compilation only — no
+execution, so this covers all ~170 queries in about a minute).
+
+Two 100 TB safety properties:
+  1. No CartesianProduct anywhere. Intentional small-frame cross joins
+     compile to BroadcastNestedLoopJoin; a CartesianProduct node means
+     a join lost its keys and would be O(n^2) shuffle at scale.
+  2. A Sort feeding an Exchange SinglePartition (the global-sort /
+     unpartitioned-window shape — the classic scale-killer) appears
+     ONLY in the whitelisted queries, each of which sorts an already-
+     aggregated dimension-sized frame and documents the
+     range-partitioned swap for extreme cardinality. Global AGGREGATES
+     also produce SinglePartition exchanges but only carry per-partition
+     partials — those are benign and not flagged.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from easy_etl_spark.plans.explain import plan_facts
+from easy_etl_spark.queries import QUERIES
+
+# queries whose plan construction has side effects or needs tempdirs —
+# exercised by their own tests; plan smoke adds nothing
+SKIP = {
+    "sink_compaction",
+    "sink_time_travel",
+    "incremental_agg_maintenance",
+    "load_drop_sync",
+    "load_metrics",
+    "pipeline_reset_reuse",
+    "merge_upsert",
+    "scd2_history",
+    "scd2_asof_view",
+    "source_formats_roundtrip",
+}
+
+# audited global sorts over aggregated dimension-sized frames (each
+# docstring names the repartitionByRange/prefix-merge swap)
+GLOBAL_SORT_OK = {
+    "pareto_revenue_deciles",  # |customers| post-aggregation ranking
+    "skyline_parts",           # distinct prices
+    "classifier_eval",         # distinct scores
+    "vocab_coverage_curve",    # vocabulary frame
+    "conversion_latency",      # converted-users frame
+    "temperature_mix",         # |sources| frame
+    # guarded dims-only surrogate-id row_number (operators/links.py
+    # max_rows guard) inside the link/pipeline facade:
+    "link_customer_nation",
+    "link_closest_shipdate",
+    "pipeline_end_to_end",
+}
+
+
+def _global_sorts(df) -> int:
+    """Count Exchange SinglePartition nodes whose parent (within the
+    two preceding tree lines) is a Sort — the global-sort shape."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    lines = s.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            if "Sort [" in " ".join(lines[max(0, i - 2):i]):
+                hits += 1
+    return hits
+
+
+@pytest.fixture(scope="module")
+def all_dfs(spark, sf_dir):
+    out = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        try:
+            out[name] = fn(spark, sf_dir)
+        except Exception as e:  # pragma: no cover — surface which query broke
+            pytest.fail(f"{name}: plan construction failed: {e}")
+    return out
+
+
+def test_no_cartesian_product_anywhere(all_dfs):
+    offenders = [n for n, df in all_dfs.items() if plan_facts(df).cartesian > 0]
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_global_sorts_only_where_whitelisted(all_dfs):
+    offenders = [
+        n
+        for n, df in all_dfs.items()
+        if n not in GLOBAL_SORT_OK and _global_sorts(df) > 0
+    ]
+    assert not offenders, f"unwhitelisted global sort in: {offenders}"
+    # the whitelist itself must stay honest: entries that stop having a
+    # global sort should be removed so the gate keeps teeth
+    stale = [
+        n for n in GLOBAL_SORT_OK if n in all_dfs and _global_sorts(all_dfs[n]) == 0
+    ]
+    assert not stale, f"whitelist entries without a global sort: {stale}"
