@@ -1,0 +1,52 @@
+"""Wave-25 pins: epoch shuffles and orphan routing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from easy_etl_spark.queries import QUERIES
+from easy_etl_spark.session import load_table
+
+
+def _key(epoch: int, doc_id: int) -> int:
+    return int(hashlib.md5(f"{epoch}:{doc_id}".encode()).hexdigest()[:12], 16)
+
+
+def test_epoch_shuffle_deterministic_and_distinct_per_epoch(spark, sf_dir):
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    got = {r.epoch: r for r in QUERIES["epoch_shuffle_plan"](spark, sf_dir).collect()}
+    assert set(got) == {0, 1, 2}
+    heads = set()
+    for e in (0, 1, 2):
+        keys = [( _key(e, d), d) for d in ids]
+        head = [d for _, d in sorted(keys)[:5]]
+        fp = hashlib.md5(",".join(str(d) for d in head).encode()).hexdigest()
+        assert got[e].n_docs == len(ids)
+        assert got[e].key_checksum == sum(k for k, _ in keys)
+        assert got[e].head_fp == fp
+        heads.add(fp)
+    # each epoch is a DIFFERENT permutation
+    assert len(heads) == 3
+
+
+def test_orphan_routing_partitions_rows_exactly(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    keys = {
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+        if r.c_custkey % 97 != 0
+    }
+    clean = [r.o_orderkey for r in orders if r.o_custkey in keys]
+    quarantine = [r.o_orderkey for r in orders if r.o_custkey not in keys]
+    got = {r.route: r for r in QUERIES["orphan_routing"](spark, sf_dir).collect()}
+    assert got["clean"].n_rows == len(clean)
+    assert got["clean"].key_checksum == sum(clean)
+    assert got["quarantine"].n_rows == len(quarantine)
+    assert got["quarantine"].key_checksum == sum(quarantine)
+    assert quarantine, "the simulated purge must orphan some orders"
+    assert got["clean"].n_rows + got["quarantine"].n_rows == len(orders)
