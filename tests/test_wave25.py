@@ -50,3 +50,34 @@ def test_orphan_routing_partitions_rows_exactly(spark, sf_dir):
     assert got["quarantine"].key_checksum == sum(quarantine)
     assert quarantine, "the simulated purge must orphan some orders"
     assert got["clean"].n_rows + got["quarantine"].n_rows == len(orders)
+
+
+def test_weekly_auc_matches_python_per_week(spark, sf_dir):
+    import math
+    from collections import defaultdict
+    from datetime import datetime
+
+    from tests.test_wave13 import _exact_auc
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "value", "event_type"
+    ).collect()
+    epoch = datetime(1970, 1, 1).date()
+    by_week = defaultdict(list)
+    for r in events:
+        wk = (r.ts.date() - epoch).days // 7
+        by_week[wk].append(
+            (math.floor(r.value * 100 + 0.5), 1 if r.event_type == "purchase" else 0)
+        )
+    got = {r.week_num: r for r in QUERIES["weekly_auc_trend"](spark, sf_dir).collect()}
+    expected_weeks = {
+        wk
+        for wk, pairs in by_week.items()
+        if 0 < sum(y for _, y in pairs) < len(pairs)
+    }
+    assert set(got) == expected_weeks and expected_weeks
+    for wk in expected_weeks:
+        pairs = by_week[wk]
+        assert got[wk].n_pos == sum(y for _, y in pairs)
+        assert got[wk].n_neg == len(pairs) - got[wk].n_pos
+        assert math.isclose(got[wk].auc, _exact_auc(pairs), abs_tol=5e-7)
