@@ -587,3 +587,4 @@ from . import queries_wave23  # noqa: E402,F401
 from . import queries_wave24  # noqa: E402,F401
 from . import queries_wave25  # noqa: E402,F401
 from . import queries_wave26  # noqa: E402,F401
+from . import queries_wave27  # noqa: E402,F401

@@ -81,3 +81,28 @@ def test_weekly_auc_matches_python_per_week(spark, sf_dir):
         assert got[wk].n_pos == sum(y for _, y in pairs)
         assert got[wk].n_neg == len(pairs) - got[wk].n_pos
         assert math.isclose(got[wk].auc, _exact_auc(pairs), abs_tol=5e-7)
+
+
+def test_source_length_gini_matches_python(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_source = defaultdict(list)
+    for r in docs:
+        by_source[r.source].append((r.n_chars, r.doc_id))
+    got = {r.source: r for r in QUERIES["source_length_gini"](spark, sf_dir).collect()}
+    assert set(got) == set(by_source)
+    for src, rows in by_source.items():
+        rows.sort()
+        n = len(rows)
+        total = sum(x for x, _ in rows)
+        wsum = sum((2 * i - n - 1) * x for i, (x, _) in enumerate(rows, start=1))
+        g = got[src]
+        assert g.n_docs == n and g.total_chars == total
+        # half-up (engines) vs half-even (python round) can differ in
+        # the last digit at exact .5 boundaries — compare with tolerance
+        assert math.isclose(g.gini, wsum / (n * total), abs_tol=6e-7)
+        assert 0.0 <= g.gini < 1.0
