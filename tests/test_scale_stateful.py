@@ -245,3 +245,23 @@ def test_streaming_dedup_ingest_lands_only_novel_docs(spark, sf_dir, tmp_path):
     assert (all_ids - paired) <= landed_ids
     # 3) dedup actually dropped something (the corpus plants near-dups)
     assert paired and len(landed_ids) < len(all_ids)
+
+
+def test_foreach_batch_upsert_idempotent_on_replay(spark, sf_dir, tmp_path):
+    """Exactly-once-on-replay: foreachBatch redelivers a micro-batch
+    after a crash-before-checkpoint; a keyed upsert must converge to
+    the identical table state when the same batch applies twice."""
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "t"))
+    batch = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        "event_type",
+        F.col("value").alias("v"),
+    ).groupBy("uid").agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s"))
+    sink.upsert(batch, keys=["uid"])
+    first = sorted(map(tuple, sink.read().select("uid", "n", "s").collect()))
+    # redelivery of the SAME batch (simulated replay)
+    sink.upsert(batch, keys=["uid"])
+    second = sorted(map(tuple, sink.read().select("uid", "n", "s").collect()))
+    assert first == second and first
