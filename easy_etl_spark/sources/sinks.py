@@ -253,14 +253,24 @@ class ParquetSink:
             return
         offset = current.agg(F.max(self.id_col).alias("m")).first()["m"] or 0
 
-        src = df.drop(self.id_col) if self.id_col in df.columns else df
-        survivors = current.join(src.select(*keys), on=keys, how="left_anti")
-        # carry existing ids onto updated rows (first match per key)
-        id_map = current.select(self.id_col, *keys).dropDuplicates(keys)
-        matched = src.join(id_map, on=keys, how="inner")
-        inserts = dense_ids(
-            src.join(current.select(*keys), on=keys, how="left_anti"), self.id_col, offset
-        )
+        if self.id_col in keys:
+            # the surrogate IS the natural key (keyed-on-id upsert):
+            # incoming ids are authoritative — no regeneration/mapping
+            src = df
+            survivors = current.join(src.select(*keys), on=keys, how="left_anti")
+            matched = src.join(current.select(*keys), on=keys, how="left_semi")
+            inserts = src.join(current.select(*keys), on=keys, how="left_anti")
+        else:
+            src = df.drop(self.id_col) if self.id_col in df.columns else df
+            survivors = current.join(src.select(*keys), on=keys, how="left_anti")
+            # carry existing ids onto updated rows (first match per key)
+            id_map = current.select(self.id_col, *keys).dropDuplicates(keys)
+            matched = src.join(id_map, on=keys, how="inner")
+            inserts = dense_ids(
+                src.join(current.select(*keys), on=keys, how="left_anti"),
+                self.id_col,
+                offset,
+            )
 
         if not safe:
             stale = [c for c in survivors.columns if c not in src.columns and c != self.id_col]

@@ -281,3 +281,27 @@ def test_load_metrics_observed(spark, tmp_path):
     # empty extract: write skipped, metrics say zero rows
     pipe.extract("SELECT n_name FROM nation WHERE n_nationkey < 0").load(sink)
     assert pipe.last_load_metrics["rows_loaded"] == 0
+
+
+def test_upsert_keyed_on_id_column(spark, tmp_path):
+    """When the surrogate id IS the upsert key (natural-key tables),
+    upsert must treat incoming ids as authoritative instead of
+    dropping the key column (which used to raise UNRESOLVED_COLUMN)."""
+    from pyspark.sql import Row
+
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "t"), id_col="uid")
+    sink.upsert(
+        spark.createDataFrame([Row(uid=1, v="a"), Row(uid=2, v="b")]), keys=["uid"]
+    )
+    sink.upsert(
+        spark.createDataFrame([Row(uid=2, v="B"), Row(uid=3, v="c")]), keys=["uid"]
+    )
+    got = {r.uid: r.v for r in sink.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # replay idempotence holds on this path too
+    sink.upsert(
+        spark.createDataFrame([Row(uid=2, v="B"), Row(uid=3, v="c")]), keys=["uid"]
+    )
+    assert {r.uid: r.v for r in sink.read().collect()} == got
