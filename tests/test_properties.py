@@ -359,3 +359,42 @@ def test_destutter_matches_groupby_and_is_idempotent(spark, docs):
     for i in got:
         assert again[i].n_before == again[i].n_after == got[i].n_after
         assert again[i].cleaned_fp == got[i].cleaned_fp
+
+
+_upsert_batches = st.lists(
+    st.lists(
+        st.tuples(st.sampled_from(["k1", "k2", "k3", "k4"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda kv: kv[0],
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(batches=_upsert_batches)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_upsert_sequences_match_dict_semantics(spark, tmp_path_factory, batches):
+    """Any sequence of keyed upserts must behave like dict.update:
+    last write wins per key, every key ever written is present, and a
+    matched row KEEPS its originally assigned surrogate id."""
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    root = tmp_path_factory.mktemp("upsert")
+    sink = ParquetSink(spark, str(root / "t"))
+    expected: dict[str, int] = {}
+    first_ids: dict[str, int] = {}
+    for batch in batches:
+        df = spark.createDataFrame([(k, v) for k, v in batch], "k string, v long")
+        sink.upsert(df, keys=["k"])
+        expected.update(dict(batch))
+        for r in sink.read().collect():
+            first_ids.setdefault(r["k"], r["id"])
+    rows = sink.read().collect()
+    assert {r["k"]: r["v"] for r in rows} == expected
+    # id stability: the id a key got on first insert never changes
+    assert {r["k"]: r["id"] for r in rows} == {k: first_ids[k] for k in expected}
+    # ids are unique
+    assert len({r["id"] for r in rows}) == len(rows)
