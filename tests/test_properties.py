@@ -398,3 +398,27 @@ def test_upsert_sequences_match_dict_semantics(spark, tmp_path_factory, batches)
     assert {r["k"]: r["id"] for r in rows} == {k: first_ids[k] for k in expected}
     # ids are unique
     assert len({r["id"] for r in rows}) == len(rows)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=30,
+    ),
+    parts=st.integers(1, 6),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dec_sum_matches_python_quantized_sum_any_partitioning(spark, vals, parts):
+    """functions/exact.dec_sum must equal the Python integer-unit sum
+    exactly, regardless of partition count — the foundation every
+    float-aggregate oracle in the catalog stands on."""
+    import math
+
+    from easy_etl_spark.functions.exact import dec_sum
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(parts)
+    got = df.agg(dec_sum("v").alias("s")).first()["s"]
+    expected = sum(math.floor(v * 100 + 0.5) for v in vals) / 100.0
+    assert got == expected
