@@ -106,3 +106,28 @@ def test_source_length_gini_matches_python(spark, sf_dir):
         # the last digit at exact .5 boundaries — compare with tolerance
         assert math.isclose(g.gini, wsum / (n * total), abs_tol=6e-7)
         assert 0.0 <= g.gini < 1.0
+
+
+def test_dedup_pair_explain_consistent_with_pairs(spark, sf_dir):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    got = QUERIES["dedup_pair_explain"](spark, sf_dir).collect()
+    assert {(r.id_a, r.id_b): r.jaccard for r in got} == pairs and pairs
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def shingles(text):
+        t = text.strip().split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 1))}
+
+    for r in got:
+        sa, sb = shingles(docs[r.id_a]), shingles(docs[r.id_b])
+        shared = sa & sb
+        assert r.n_shared == len(shared)
+        assert (r.size_a, r.size_b) == (len(sa), len(sb))
+        assert r.sample_shingle == min(shared)
+        assert r.sample_shingle in sa and r.sample_shingle in sb
