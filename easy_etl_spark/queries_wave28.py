@@ -93,3 +93,34 @@ def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_shingle",
         )
     )
+
+
+@register(
+    "video_frame_sample",
+    """
+    SELECT doc_id, CAST(g.off AS BIGINT) AS frame_offset,
+           ascii(substr(text, g.off + 1, 1)) AS sample_byte
+    FROM documents,
+         UNNEST(generate_series(0, length(text) - 1, 64)) AS g(off)
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (the video analog: one blob
+    -> one row per sampled frame offset), via the mapInPandas template
+    in operators/multimodal.frame_sample — real byte indexing over
+    Arrow-delivered blobs, with the synthetic text-byte signal letting
+    DuckDB replay each sampled byte character-by-character (the same
+    trick that makes audio_rms_windows' sample math oracle-checked
+    instead of rows-only).
+
+    Scale: pure map-side — one vectorized pass per Arrow batch, one
+    output row per frame, no shuffle at all."""
+    from .operators.multimodal import frame_sample, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = frame_sample(with_binary_payload(docs), every_n_bytes=64)
+    return out.select(
+        "doc_id",
+        F.col("offset").cast("bigint").alias("frame_offset"),
+        F.col("sample_byte").cast("int").alias("sample_byte"),
+    )

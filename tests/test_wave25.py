@@ -131,3 +131,14 @@ def test_dedup_pair_explain_consistent_with_pairs(spark, sf_dir):
         assert (r.size_a, r.size_b) == (len(sa), len(sb))
         assert r.sample_shingle == min(shared)
         assert r.sample_shingle in sa and r.sample_shingle in sb
+
+
+def test_video_frame_sample_matches_python_bytes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        bs = r.text.encode()
+        for off in range(0, len(bs), 64):
+            expected[(r.doc_id, off)] = bs[off]
+    got = QUERIES["video_frame_sample"](spark, sf_dir).collect()
+    assert {(r.doc_id, r.frame_offset): r.sample_byte for r in got} == expected
