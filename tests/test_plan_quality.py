@@ -383,3 +383,14 @@ def test_growth_wow_window_partitioned(spark, sf_dir):
 def test_mmr_no_cartesian(spark, sf_dir):
     f = _facts(spark, sf_dir, "mmr_rerank_topk")
     assert f.cartesian == 0
+
+
+def test_video_frame_sample_pure_map(spark, sf_dir):
+    f = _facts(spark, sf_dir, "video_frame_sample")
+    assert f.exchanges == 0, f.text
+    assert f.scans_only_columns("doc_id", "text"), f.read_schemas
+
+
+def test_dedup_pair_explain_no_cartesian(spark, sf_dir):
+    f = _facts(spark, sf_dir, "dedup_pair_explain")
+    assert f.cartesian == 0
