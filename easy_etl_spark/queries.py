@@ -589,3 +589,4 @@ from . import queries_wave25  # noqa: E402,F401
 from . import queries_wave26  # noqa: E402,F401
 from . import queries_wave27  # noqa: E402,F401
 from . import queries_wave28  # noqa: E402,F401
+from . import queries_wave29  # noqa: E402,F401

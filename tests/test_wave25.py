@@ -142,3 +142,35 @@ def test_video_frame_sample_matches_python_bytes(spark, sf_dir):
             expected[(r.doc_id, off)] = bs[off]
     got = QUERIES["video_frame_sample"](spark, sf_dir).collect()
     assert {(r.doc_id, r.frame_offset): r.sample_byte for r in got} == expected
+
+
+def test_dynamic_gap_sessions_match_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    GAPS = {"click": 600, "view": 600, "error": 300, "signup": 1800, "purchase": 3600}
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r.user_id].append((int(r.ts.timestamp()), r.event_id, r.event_type))
+    expected = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        sid = 0
+        sessions = defaultdict(list)
+        prev = None
+        for sec, _eid, typ in rows:
+            if prev is None or sec > prev[0] + GAPS[prev[1]]:
+                sid += 1
+            sessions[sid].append(sec)
+            prev = (sec, typ)
+        for s, secs in sessions.items():
+            expected[(uid, s)] = (len(secs), max(secs) - min(secs))
+    got = QUERIES["events_session_dynamic_gap"](spark, sf_dir).collect()
+    assert {
+        (r.user_id, r.session_id): (r.n_events, r.duration_s) for r in got
+    } == expected
+    # dynamic gaps must actually differ from the fixed-1800s behaviour
+    fixed = QUERIES["events_session"](spark, sf_dir).count()
+    assert len(got) != fixed
