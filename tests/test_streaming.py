@@ -197,3 +197,48 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir):
         for r in e.join(dim, "user_id").select("event_id", "user_id", "n_ev").collect()
     }
     assert got == batch and got
+
+
+def test_dynamic_gap_session_window_stream_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Structured Streaming's session_window(ts, CASE...) with dynamic
+    per-event gaps must produce the same per-user session event counts
+    as the batch lag-based twin (events_session_dynamic_gap) — the
+    merge-overlapping-intervals semantics are equivalent for a user's
+    time-ordered stream."""
+    import shutil
+    from collections import Counter
+
+    from easy_etl_spark.queries import QUERIES
+    from easy_etl_spark.session import table_path
+    from easy_etl_spark.streaming import jobs
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), d / "p.parquet")
+    stream = jobs.read_events_stream(spark, str(d))
+    gap = F.expr(
+        "CASE event_type WHEN 'click' THEN '600 seconds' "
+        "WHEN 'view' THEN '600 seconds' WHEN 'error' THEN '300 seconds' "
+        "WHEN 'signup' THEN '1800 seconds' ELSE '3600 seconds' END"
+    )
+    agg = (
+        stream.withWatermark("ts", "10 days")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_dyn_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_counts = Counter(
+        (r["user_id"], r["n_events"]) for r in spark.table("t_dyn_sessions").collect()
+    )
+    batch_counts = Counter(
+        (r.user_id, r.n_events)
+        for r in QUERIES["events_session_dynamic_gap"](spark, sf_dir).collect()
+    )
+    assert stream_counts == batch_counts and stream_counts
