@@ -394,3 +394,19 @@ def test_video_frame_sample_pure_map(spark, sf_dir):
 def test_dedup_pair_explain_no_cartesian(spark, sf_dir):
     f = _facts(spark, sf_dir, "dedup_pair_explain")
     assert f.cartesian == 0
+
+
+def test_topk_family_uses_window_group_limit(spark, sf_dir):
+    # Spark 4's rank-limit pushdown: per-partition partial top-k BEFORE
+    # the exchange — the property that keeps rnk<=k filters from
+    # shuffling every scored row at scale. Must hold for every top-k
+    # window query.
+    for name in (
+        "topk_per_group",
+        "knn_brute_force",
+        "keyword_tfidf_top3",
+        "item_recommendations",
+        "hard_negative_mining",
+    ):
+        f = _facts(spark, sf_dir, name)
+        assert "WindowGroupLimit" in f.text, f"{name}: rank-limit pushdown missing"
