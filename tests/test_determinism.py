@@ -47,6 +47,11 @@ CASES = [
     "embedding_covariance",
     "conversion_latency",
     "item_recommendations",
+    # waves 25-29
+    "source_length_gini",
+    "weekly_auc_trend",
+    "events_session_dynamic_gap",
+    "epoch_shuffle_plan",
 ]
 
 
