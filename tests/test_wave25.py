@@ -174,3 +174,31 @@ def test_dynamic_gap_sessions_match_python_replay(spark, sf_dir):
     # dynamic gaps must actually differ from the fixed-1800s behaviour
     fixed = QUERIES["events_session"](spark, sf_dir).count()
     assert len(got) != fixed
+
+
+def test_priority_sample_matches_python_and_is_fixed_size(spark, sf_dir):
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    M = 1_000_000_007
+    pri = []
+    for r in docs:
+        if r.n_chars <= 0:
+            continue
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % M
+        pri.append((u / r.n_chars, r.doc_id, r.source, r.n_chars))
+    pri.sort()
+    expected = {
+        d: (src, w, round(p, 6), i + 1)
+        for i, (p, d, src, w) in enumerate(pri[:50])
+    }
+    got = QUERIES["priority_sample"](spark, sf_dir).collect()
+    assert len(got) == 50
+    for r in got:
+        assert expected[r.doc_id] == (r.source, r.weight, r.priority, r.rnk)
+    # weighted: the sampled docs skew long (mean weight above corpus mean)
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    sample_mean = sum(r.weight for r in got) / len(got)
+    assert sample_mean > corpus_mean
