@@ -25,7 +25,7 @@ from .session import load_table
     WITH keyed AS (
       SELECT e.epoch, doc_id,
              ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
-                                 CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS k
+                                 CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS k
       FROM documents, (SELECT unnest(generate_series(0, 2)) AS epoch) e
     ),
     firsts AS (
@@ -44,7 +44,9 @@ from .session import load_table
 )
 def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multi-epoch shuffle plan: epoch e orders the
-    corpus by md5(e, doc_id) — a different but perfectly reproducible
+    corpus by the 32-bit md5(e, doc_id) key (32 bits keeps the exact
+    key_checksum inside BIGINT even at billions of docs) — a different
+    but perfectly reproducible
     permutation per epoch, recomputable from ids alone on any engine /
     run / partitioning (rand()-seeded shuffles are none of those, and
     an irreproducible data order makes training runs uncomparable).
@@ -64,7 +66,7 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 12
+                F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 8
             ),
             16,
             10,

@@ -9,7 +9,7 @@ from easy_etl_spark.session import load_table
 
 
 def _key(epoch: int, doc_id: int) -> int:
-    return int(hashlib.md5(f"{epoch}:{doc_id}".encode()).hexdigest()[:12], 16)
+    return int(hashlib.md5(f"{epoch}:{doc_id}".encode()).hexdigest()[:8], 16)
 
 
 def test_epoch_shuffle_deterministic_and_distinct_per_epoch(spark, sf_dir):
