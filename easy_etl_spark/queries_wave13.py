@@ -54,7 +54,9 @@ def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic (ascii text bytes as PCM), which is exactly what lets
     DuckDB replay the integer energies character-by-character — the
     one multimodal query whose pixel/sample math is oracle-checked
-    rather than rows-only. Scale: pure map-side, one output row per
+    rather than rows-only. (The char-by-char replay relies on the
+    corpus being ASCII — true of the driver testdata; a non-ASCII
+    regen would need octet-level DuckDB functions instead.) Scale: pure map-side, one output row per
     window, no shuffle before the (doc, win) aggregate inside the
     UDF's vectorized pass."""
     docs = _t(spark, sf_dir, "documents")

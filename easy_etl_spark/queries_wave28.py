@@ -111,7 +111,8 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-delivered blobs, with the synthetic text-byte signal letting
     DuckDB replay each sampled byte character-by-character (the same
     trick that makes audio_rms_windows' sample math oracle-checked
-    instead of rows-only).
+    instead of rows-only; like it, the replay assumes the ASCII corpus
+    the driver generates).
 
     Scale: pure map-side — one vectorized pass per Arrow batch, one
     output row per frame, no shuffle at all."""
