@@ -124,3 +124,38 @@ def test_wave8_to_12_queries_self_sufficient(confless, sf_dir):
         "growth_wow",
     ):
         assert QUERIES[name](confless, sf_dir).count() > 0, name
+
+
+def test_wave13_to_30_queries_self_sufficient(confless, sf_dir):
+    """Waves 13-30 under a conf-stripped session — one representative
+    per family added since the mid-round batch."""
+    from easy_etl_spark.queries import QUERIES
+
+    for name in (
+        "audio_rms_windows",
+        "classifier_eval",
+        "ndcg_retrieval_eval",
+        "embedding_drift",
+        "hard_negative_mining",
+        "mlm_masking",
+        "mmr_rerank_topk",
+        "winsorize_values",
+        "cap_events_per_user_day",
+        "embedding_covariance",
+        "recursive_org_rollup",
+        "rag_context_assembly",
+        "learning_curve_subsets",
+        "vocab_coverage_curve",
+        "corpus_build_report",
+        "item_recommendations",
+        "conversion_latency",
+        "epoch_shuffle_plan",
+        "orphan_routing",
+        "weekly_auc_trend",
+        "source_length_gini",
+        "dedup_pair_explain",
+        "video_frame_sample",
+        "events_session_dynamic_gap",
+        "priority_sample",
+    ):
+        assert QUERIES[name](confless, sf_dir).count() > 0, name
