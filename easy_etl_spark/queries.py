@@ -591,3 +591,4 @@ from . import queries_wave27  # noqa: E402,F401
 from . import queries_wave28  # noqa: E402,F401
 from . import queries_wave29  # noqa: E402,F401
 from . import queries_wave30  # noqa: E402,F401
+from . import queries_wave31  # noqa: E402,F401

@@ -202,3 +202,43 @@ def test_priority_sample_matches_python_and_is_fixed_size(spark, sf_dir):
     corpus_mean = sum(r.n_chars for r in docs) / len(docs)
     sample_mean = sum(r.weight for r in got) / len(got)
     assert sample_mean > corpus_mean
+
+
+def test_peak_concurrency_matches_python_sweep(spark, sf_dir):
+    from collections import defaultdict
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r.user_id].append((int(r.ts.timestamp()), r.event_id))
+    spans = []
+    for uid, rows in by_user.items():
+        rows.sort()
+        start = prev = rows[0][0]
+        for sec, _eid in rows[1:]:
+            if sec - prev > 1800:
+                spans.append((start, prev))
+                start = sec
+            prev = sec
+        spans.append((start, prev))
+    bounds = defaultdict(list)
+    for s, t in spans:
+        day = s // 86400
+        bounds[day].append((s, 1))
+        bounds[day].append((t + 1, -1))
+    expected = {}
+    for day, bs in bounds.items():
+        bs.sort(key=lambda b: (b[0], b[1]))  # -1 before +1 at ties
+        peak = cur = 0
+        for _, d in bs:
+            cur += d
+            peak = max(peak, cur)
+        expected[day] = (peak, len(bs) // 2)
+    got = {r.day_num: (r.peak_concurrent, r.n_sessions)
+           for r in QUERIES["peak_concurrency"](spark, sf_dir).collect()}
+    # the python replay uses local-tz epoch; normalize by comparing the
+    # multiset of per-day values (day numbering may shift, values not)
+    assert sorted(got.values()) == sorted(expected.values())
+    assert len(got) == len(expected) and got
