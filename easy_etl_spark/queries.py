@@ -592,3 +592,4 @@ from . import queries_wave28  # noqa: E402,F401
 from . import queries_wave29  # noqa: E402,F401
 from . import queries_wave30  # noqa: E402,F401
 from . import queries_wave31  # noqa: E402,F401
+from . import queries_wave32  # noqa: E402,F401

@@ -242,3 +242,25 @@ def test_peak_concurrency_matches_python_sweep(spark, sf_dir):
     # multiset of per-day values (day numbering may shift, values not)
     assert sorted(got.values()) == sorted(expected.values())
     assert len(got) == len(expected) and got
+
+
+def test_file_health_report_matches_parquet_footers(spark, sf_dir, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    # write a multi-file copy so there is more than one file to report on
+    src = load_table(spark, sf_dir, "lineitem")
+    src.repartition(4).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r.file_name: r.n_rows
+           for r in QUERIES["file_health_report"](spark, str(tmp_path)).collect()}
+    expected = {}
+    root = tmp_path / "lineitem.parquet"
+    for f in os.listdir(root):
+        if f.endswith(".parquet"):
+            expected[f] = pq.ParquetFile(str(root / f)).metadata.num_rows
+    assert got == expected and len(expected) == 4
+    rep = QUERIES["file_health_report"](spark, str(tmp_path)).collect()
+    n_files, total = len(expected), sum(expected.values())
+    for r in rep:
+        assert r.balance_factor == round(r.n_rows * n_files / total, 4)
