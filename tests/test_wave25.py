@@ -264,3 +264,30 @@ def test_file_health_report_matches_parquet_footers(spark, sf_dir, tmp_path):
     n_files, total = len(expected), sum(expected.values())
     for r in rep:
         assert r.balance_factor == round(r.n_rows * n_files / total, 4)
+
+
+def test_ann_recall_consistent_with_component_queries(spark, sf_dir):
+    """recall@10 must equal the overlap between the registered int-LSH
+    retrieval and an exact int-d2 ranking computed independently."""
+    import math
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    qv = {
+        r.vec_id: [math.floor(float(x) * 1e6 + 0.5) for x in r.embedding]
+        for r in vecs
+    }
+    lsh = QUERIES["knn_lsh_int"](spark, sf_dir).collect()
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {r.query_id: r for r in QUERIES["ann_recall_at_10"](spark, sf_dir).collect()}
+    for q in [v for v in qv if v < 5]:
+        exact = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv[q], qv[c])), c)
+            for c in qv
+            if c != q
+        )[:10]
+        hits = sum(1 for _, c in exact if c in lsh_sets.get(q, set()))
+        g = got[q]
+        assert (g.k, g.n_hit, g.recall) == (10, hits, round(hits / 10.0, 4))
+        assert 0 <= g.recall <= 1
