@@ -422,3 +422,24 @@ def test_dec_sum_matches_python_quantized_sum_any_partitioning(spark, vals, part
     got = df.agg(dec_sum("v").alias("s")).first()["s"]
     expected = sum(math.floor(v * 100 + 0.5) for v in vals) / 100.0
     assert got == expected
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True),
+       modulus=st.sampled_from([2, 10, 100, 1009]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_md5_uniform_matches_python_for_any_ids(spark, ids, modulus):
+    """The portable md5 bucket — the key under splits, subsets, masks,
+    epoch shuffles, and weighted samples — must agree with the Python
+    reference for arbitrary ids and moduli."""
+    import hashlib
+
+    from easy_etl_spark.operators.sampling import md5_uniform
+
+    df = spark.createDataFrame([(i,) for i in ids], "i long")
+    got = {
+        r["i"]: r["b"]
+        for r in df.select("i", md5_uniform(F.col("i"), modulus).alias("b")).collect()
+    }
+    for i in ids:
+        assert got[i] == int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % modulus

@@ -99,3 +99,20 @@ def test_spec_asof_link_matches_code_path(spark, sf_dir):
     assert sorted(from_spec.collect(), key=key) == sorted(
         from_code.collect(), key=key
     )
+
+
+def test_spec_watermark_extract_and_types(spark, sf_dir):
+    """Typed incremental extract through the spec path: the watermark
+    placeholder substitutes from the pipeline's write target and types
+    compile like the fluent API."""
+    register_views(spark, sf_dir)
+    spec = {
+        "extract": {
+            "sql": "SELECT o_orderkey, o_totalprice FROM orders",
+            "types": {"o_totalprice": float},
+        },
+    }
+    pipe = pipeline_from_spec(spark, spec)
+    df = pipe.dataframe()
+    assert dict(df.dtypes)["o_totalprice"] == "double"
+    assert df.count() > 0
