@@ -407,6 +407,7 @@ def test_topk_family_uses_window_group_limit(spark, sf_dir):
         "keyword_tfidf_top3",
         "item_recommendations",
         "hard_negative_mining",
+        "priority_sample",
     ):
         f = _facts(spark, sf_dir, name)
         assert "WindowGroupLimit" in f.text, f"{name}: rank-limit pushdown missing"
