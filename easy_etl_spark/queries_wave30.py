@@ -35,11 +35,13 @@ M = 1_000_000_007
                   % {M} AS DOUBLE) / n_chars AS priority
       FROM documents WHERE n_chars > 0
     )
+    , topk AS (
+      SELECT * FROM pri ORDER BY priority, doc_id LIMIT {K}
+    )
     SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
-           round(priority, 6) AS priority, CAST(rnk AS BIGINT) AS rnk
-    FROM (
-      SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rnk FROM pri
-    ) WHERE rnk <= {K}
+           round(priority, 6) AS priority,
+           CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rnk
+    FROM topk
     """,
 )
 def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,9 +52,11 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY K (the Bernoulli sampler's is only K in expectation), and
     the whole draw replays from ids alone on any engine or run.
 
-    Scale: priority is a per-row map; the top-K rides
-    TakeOrdered-style partial heaps via the rank-limit pushdown (the
-    WindowGroupLimit gate family) — no global materialized sort."""
+    Scale: priority is a per-row map; the top-K is ORDER BY + LIMIT,
+    which compiles to TakeOrderedAndProject (per-partition heaps merged
+    on the driver — plan-gated); only the K survivors see the final
+    rank window. (The first cut ranked the full corpus with a global
+    row_number — a real scale hazard the plan gates caught.)"""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
@@ -66,10 +70,10 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (u.cast("double") / F.col("n_chars")).alias("priority"),
     )
+    topk = pri.orderBy("priority", "doc_id").limit(K)
     w = Window.orderBy("priority", "doc_id")
     return (
-        pri.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= K)
+        topk.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select(
             "doc_id",
             "source",

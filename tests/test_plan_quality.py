@@ -407,7 +407,13 @@ def test_topk_family_uses_window_group_limit(spark, sf_dir):
         "keyword_tfidf_top3",
         "item_recommendations",
         "hard_negative_mining",
-        "priority_sample",
     ):
         f = _facts(spark, sf_dir, name)
         assert "WindowGroupLimit" in f.text, f"{name}: rank-limit pushdown missing"
+
+
+def test_priority_sample_uses_take_ordered(spark, sf_dir):
+    # the top-K must be per-partition heaps (TakeOrderedAndProject),
+    # never a full-corpus global rank window
+    f = _facts(spark, sf_dir, "priority_sample")
+    assert "TakeOrderedAndProject" in f.text, f.text
