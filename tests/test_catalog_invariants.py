@@ -106,3 +106,37 @@ def test_every_registered_query_documented_in_coverage():
     cov = open("/root/repo/COVERAGE.md").read()
     missing = [n for n in QUERIES if n not in cov]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_oracle_column_names_align_with_spark(all_dfs, sf_dir):
+    """The driver's hash compare aligns columns BY NAME — an alias
+    drifting on one side flips the gate even with identical values.
+    Check every oracle's declared column set against the Spark plan's,
+    engine-side only (DuckDB describe + Spark schema, no data)."""
+    import duckdb
+
+    from easy_etl_spark.queries import ORACLES
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    mismatches = []
+    for name, sql in ORACLES.items():
+        if name not in all_dfs:
+            continue
+        try:
+            oracle_cols = sorted(
+                r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+            )
+        except Exception as e:
+            mismatches.append(f"{name}: oracle does not prepare: {str(e)[:80]}")
+            continue
+        spark_cols = sorted(all_dfs[name].columns)
+        if oracle_cols != spark_cols:
+            mismatches.append(f"{name}: spark={spark_cols} oracle={oracle_cols}")
+    assert not mismatches, "\n".join(mismatches)
