@@ -140,3 +140,23 @@ def test_oracle_column_names_align_with_spark(all_dfs, sf_dir):
         if oracle_cols != spark_cols:
             mismatches.append(f"{name}: spark={spark_cols} oracle={oracle_cols}")
     assert not mismatches, "\n".join(mismatches)
+
+
+def test_driver_priority_prefix_integrity():
+    """__spark_entry__._PRIORITY is the driver-visible family ordering:
+    every entry must resolve to a registered query, carry an oracle
+    (the checked prefix must never regress to rows-only), and contain
+    no duplicates."""
+    import __spark_entry__ as entry
+
+    from easy_etl_spark.queries import ORACLES
+
+    prio = entry._PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate names in _PRIORITY"
+    unknown = [n for n in prio if n not in QUERIES]
+    assert not unknown, f"_PRIORITY names not registered: {unknown}"
+    no_oracle = [n for n in prio if n not in ORACLES]
+    assert not no_oracle, f"_PRIORITY entries without oracles: {no_oracle}"
+    # and the driver's 50-query checked window is exactly the head
+    ordered = list(entry.queries())
+    assert ordered[: len(prio)] == prio
