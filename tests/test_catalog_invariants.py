@@ -160,3 +160,13 @@ def test_driver_priority_prefix_integrity():
     # and the driver's 50-query checked window is exactly the head
     ordered = list(entry.queries())
     assert ordered[: len(prio)] == prio
+
+
+def test_bench_headline_names_resolve():
+    """bench.py's fixed headline set must stay resolvable — a renamed
+    query would crash the driver's per-round benchmark."""
+    from bench import HEADLINE
+
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    assert not missing, f"bench headline names not registered: {missing}"
+    assert len(HEADLINE) == len(set(HEADLINE))
