@@ -50,6 +50,7 @@ _PRIORITY = [
     # streaming / event-time (batch twins)
     "events_tumbling",
     "events_session",
+    "events_session_flush",
     "events_interval_join",
     "events_json_props",
     "events_rollup_reuse",
@@ -77,8 +78,9 @@ _PRIORITY = [
     "vocab_encode",
     "quality_rules",
     "source_token_budget",
-    # multimodal (real-decode rep first; byte-plumbing variant follows)
+    # multimodal (real-decode reps first; byte-plumbing variant follows)
     "multimodal_decode",
+    "multimodal_decode_png",
     "multimodal_features",
     # time-series regularization, entity resolution, CDC, exact stats
     "events_resample_fill",
@@ -96,6 +98,7 @@ _PRIORITY = [
     "events_trailing_hour",
     "sink_time_travel",
     "sink_compaction",
+    "txn_sink_merge",
     # graph & pattern mining
     "pagerank_top20",
     "frequent_part_pairs",

@@ -50,6 +50,21 @@ HEADLINE = [
     "inference_batch_score",
 ]
 
+#: second headline set (round 4+): the families added after the
+#: historic 24-query set froze. Reported as a separate total so the
+#: round-1 baseline number stays comparable while these stay
+#: regression-visible.
+HEADLINE_V2 = [
+    "event_transitions",
+    "dedup_incremental",
+    "triangle_count",
+    "corpus_build_report",
+    "mmr_rerank_topk",
+    "multimodal_decode_png",
+    "events_session_flush",
+    "vocab_encode",
+]
+
 
 def main() -> None:
     from easy_etl_spark.queries import QUERIES
@@ -64,29 +79,40 @@ def main() -> None:
     # reads DIFFERENT (tiny) files — only plan-structure caches carry.
     warm_dir = "/root/testdata/sf0.001"
     warm_sf = warm_dir if os.path.isdir(warm_dir) else SF_DIR
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_V2:
         try:
             QUERIES[name](spark, warm_sf).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    def timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    times = timed(HEADLINE)
+    times_v2 = timed(HEADLINE_V2)
 
     sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
     print(
         json.dumps(
             {
+                # "value" stays the HISTORIC 24-query total — directly
+                # comparable to BENCH_r01..r03 / BASELINE.md
                 "metric": "headline_query_wall_seconds",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # round-4+ families, reported separately (see HEADLINE_V2)
+                "metric_v2": "headline_v2_query_wall_seconds",
+                "value_v2": round(sum(times_v2.values()), 3),
+                "queries_v2": times_v2,
             }
         )
     )

@@ -602,6 +602,12 @@ def pca_components(emb: DataFrame, k: int = 2, vec_col: str = "embedding", scale
 
     from pyspark.sql import functions as F
 
+    n = emb.count()
+    if n < 2:
+        raise ValueError(
+            f"pca_components needs at least 2 vectors to form a sample "
+            f"covariance, got {n}"
+        )
     parts = covariance_partials(emb, vec_col=vec_col, scale=scale)
     cells = parts.groupBy("d1", "d2").agg(F.sum("sxy").alias("sxy")).collect()
     ex = emb.select(F.posexplode(vec_col).alias("d", "xv")).select(
@@ -611,7 +617,6 @@ def pca_components(emb: DataFrame, k: int = 2, vec_col: str = "embedding", scale
         .alias("xq"),
     )
     sums = {r["d"]: r["s"] for r in ex.groupBy("d").agg(F.sum("xq").alias("s")).collect()}
-    n = emb.count()
     d = max(sums) + 1
     G = np.zeros((d, d), dtype=np.float64)
     for r in cells:

@@ -215,22 +215,45 @@ def build_vocab(
 ) -> DataFrame:
     """Frequency-ranked token vocabulary: (tok, token_id) with ids
     1..top_n by (count DESC, token ASC) — fully deterministic incl.
-    ties. Corpus-side work is one explode + map-side-combined count;
-    ranking is a distributed top-N, with only the top_n winners ever
-    reaching the driver."""
+    ties. Corpus-side work is one explode + map-side-combined count.
+
+    Ranking is FULLY DISTRIBUTED — nothing ever lands on the driver, so
+    a 1M-entry vocab costs the same plan as a 100-entry one: range-
+    partition the (vocab-sized) count table on the rank key, assign
+    per-partition row_numbers (window partitioned by the shuffle
+    partition — embarrassingly parallel), and convert them to global
+    ranks by adding per-partition offsets. The offsets come from a
+    numPartitions-row prefix sum computed as a broadcast triangular
+    self-join — no single-partition sort exchange anywhere in the plan
+    (gated by test_plan_quality.test_vocab_rank_distributed)."""
+    from pyspark.sql import Window
+
     counts = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # orderBy + limit plans a DISTRIBUTED TakeOrdered (per-partition
-    # top-N, then a top_n-sized merge) — no single-partition global
-    # window; ranks are then assigned driver-side over the bounded
-    # (≤ top_n rows) result.
-    top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(top_n).collect()
-    return docs.sparkSession.createDataFrame(
-        [(r["tok"], i + 1) for i, r in enumerate(top)],
-        "tok string, token_id long",
+    # range partitions follow the rank order, so partition id order ==
+    # global rank order; persist so the offsets pass and the rank pass
+    # share one materialization (and one partition assignment)
+    part = counts.repartitionByRange(
+        F.col("cnt").desc(), F.col("tok")
+    ).withColumn("__pid", F.spark_partition_id()).persist()
+    pc = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = pc.alias("a"), pc.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__n"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "token_id", (F.row_number().over(w) + F.col("__off")).cast("long")
+        )
+        .filter(F.col("token_id") <= top_n)
+        .select("tok", "token_id")
     )
 
 

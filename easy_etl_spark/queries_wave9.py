@@ -73,7 +73,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join fans out by OUT-degree, bounded by O(sqrt(m)) per node
     instead of the raw degree (the difference between hours and seconds
     on power-law graphs). Both joins are equi-joins on node/pair keys —
-    no cartesian; the degree table broadcasts onto the edge list."""
+    no cartesian. The degree joins carry NO broadcast hint on purpose:
+    the degree table is node-count-sized, and a forced broadcast would
+    OOM the driver on a billion-node graph — AQE picks broadcast when
+    the table is actually small and shuffle-hash otherwise."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1, l2 = li.alias("l1"), li.alias("l2")
     edges = (
@@ -95,7 +98,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    with_deg = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    with_deg = edges.join(da, "a").join(db, "b")
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )

@@ -294,19 +294,85 @@ class ParquetSink:
             )
         return sorted(out)
 
-    def delete_where(self, condition) -> int:
+    @staticmethod
+    def _local_dir(uri: str) -> str:
+        """input_file_name() URI → local directory path. Spark returns
+        ``file:...``-scheme, percent-encoded URIs; decoding them (rather
+        than re-deriving ``col=value`` strings by hand) is what makes
+        partition values containing Spark-escaped characters (':', ' ',
+        '/', '%') and ``__HIVE_DEFAULT_PARTITION__`` NULLs resolve to
+        directories that actually exist on disk."""
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(uri)
+        path = unquote(parsed.path) if parsed.scheme == "file" else uri
+        return os.path.dirname(path)
+
+    def _partition_pred(self, row):
+        """Null-safe equality predicate for one partition tuple (NULL
+        partition values — stored as __HIVE_DEFAULT_PARTITION__ dirs and
+        read back as NULL — match via IS NULL, never ``= NULL``)."""
+        pred = None
+        for c in self.partition_by:
+            p = F.col(c).isNull() if row[c] is None else F.col(c) == F.lit(row[c])
+            pred = p if pred is None else (pred & p)
+        return pred
+
+    def _purge_versions(self, hit) -> None:
+        """Apply a delete predicate to every retained ``.__v{k}``
+        snapshot so a purge actually removes the data from time travel
+        too (a GDPR delete that survives in ``read(version=...)`` is no
+        delete at all). Each touched snapshot is rewritten to a staging
+        dir and atomically swapped; snapshots with no matching rows are
+        left byte-identical. O(snapshot) per touched snapshot — history
+        rewrites are the unavoidable cost of purging history."""
+        for v in self.versions():
+            p = self._version_path(v)
+            snap = self.spark.read.parquet(p)
+            if snap.filter(hit).isEmpty():
+                continue
+            keep = snap.filter(~hit)
+            if keep.isEmpty():
+                shutil.rmtree(p)
+                continue
+            staging = f"{p}.__vstage_{uuid.uuid4().hex[:8]}"
+            writer = keep.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(staging)
+            old = f"{p}.__vold_{uuid.uuid4().hex[:8]}"
+            os.replace(p, old)
+            try:
+                os.replace(staging, p)
+            except BaseException:
+                os.replace(old, p)
+                raise
+            shutil.rmtree(old)
+
+    def delete_where(self, condition, purge_versions: bool = True) -> int:
         """Targeted delete (GDPR/right-to-be-forgotten purge, bad-batch
         rollback): remove every row matching ``condition`` (a Column or
         SQL string; NULL predicates keep the row). Returns rows deleted.
 
         On a hive-partitioned table only the partitions that actually
         contain matches are rewritten — the 100 TB difference between
-        O(matching partitions) and O(table). Each touched partition is
+        O(matching partitions) and O(table). The touched directories are
+        derived from ``input_file_name()`` on the matching rows (not
+        re-rendered from values), so Spark's partition-path escaping and
+        NULL partitions resolve correctly. Each touched partition is
         rewritten to a staging dir and atomically swapped (same crash
         posture as _swap_write); partitions whose rows are all purged
         are removed outright. Unpartitioned tables fall back to one
-        full rewrite. On a lakehouse deployment this maps to
-        DELETE FROM with Delta/Iceberg file-level skipping.
+        full rewrite.
+
+        ``purge_versions=True`` (default) additionally rewrites every
+        retained ``.__v{k}`` snapshot without the matching rows — on
+        BOTH paths — so the purge holds across ``read(version=...)``
+        time travel; pass False only for bad-batch rollbacks where
+        history should stay intact. The condition must reference only
+        columns present in the snapshots. On a lakehouse deployment
+        this maps to DELETE FROM + VACUUM with Delta/Iceberg file-level
+        skipping.
         """
         current = self.read()
         if current is None:
@@ -315,19 +381,27 @@ class ParquetSink:
         hit = F.coalesce(cond, F.lit(False))
         n_deleted = current.filter(hit).count()
         if n_deleted == 0:
+            if purge_versions:
+                self._purge_versions(hit)  # history may still hold matches
             return 0
         if not self.partition_by:
             self._swap_write(current.filter(~hit))
+            if purge_versions:
+                self._purge_versions(hit)
             return n_deleted
-        touched = current.filter(hit).select(*self.partition_by).distinct().collect()
+        touched = (
+            current.filter(hit)
+            .select(
+                F.input_file_name().alias("__f"),
+                *self.partition_by,
+            )
+            .distinct()
+            .collect()
+        )
         payload_cols = [c for c in current.columns if c not in self.partition_by]
-        for row in touched:
-            part_pred = None
-            for c in self.partition_by:
-                p = F.col(c) == F.lit(row[c])
-                part_pred = p if part_pred is None else (part_pred & p)
-            subdir = "/".join(f"{c}={row[c]}" for c in self.partition_by)
-            pdir = os.path.join(self.path, subdir)
+        for pdir in sorted({self._local_dir(r["__f"]) for r in touched}):
+            rows = [r for r in touched if self._local_dir(r["__f"]) == pdir]
+            part_pred = self._partition_pred(rows[0])
             # fresh read per partition: earlier swaps invalidated the
             # original file listing; partition pruning keeps this a
             # metadata-only re-list plus a one-directory scan
@@ -345,6 +419,8 @@ class ParquetSink:
                 os.replace(old, pdir)
                 raise
             shutil.rmtree(old)
+        if purge_versions:
+            self._purge_versions(hit)
         return n_deleted
 
     def compact(self, target_rows_per_file: int = 1_000_000) -> int:

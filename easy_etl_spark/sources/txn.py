@@ -1,0 +1,243 @@
+"""Transactional parquet sink: atomic commits + optimistic concurrent
+writers on a plain filesystem — the missing piece between ParquetSink's
+directory-swap loads and a real lakehouse table format.
+
+Reference parity: the reference delegates durability to its target
+RDBMS (easy_etl/README.md:182-197 — every load is an implicit DB
+transaction). ParquetSink (sources/sinks.py) reproduces the load
+semantics but two concurrent appends could interleave their
+directory swaps. This module closes that gap with the same commit
+design Delta Lake / Iceberg use, scaled down to one table:
+
+  <path>/_data/<uuid>/     immutable data snapshots, one per version;
+                           written FULLY before they become visible
+  <path>/_commits/N.json   the commit log: version N's record names its
+                           data snapshot. Creating this file IS the
+                           commit point, done via write-temp +
+                           os.link(tmp, final) — link fails atomically
+                           (EEXIST) if another writer claimed N first,
+                           and the record is complete before it is
+                           visible (no reader ever sees a half-written
+                           commit).
+
+Writer protocol (optimistic concurrency, Delta-style):
+  1. read the latest committed version N and its table state
+  2. compute the new state, write it to a fresh _data/<uuid> snapshot
+  3. try to commit as N+1; on conflict (another writer won N+1),
+     REBASE: recompute the new state against the winner's table and
+     retry at N+2. Appends/upserts/deletes are self-rebasing — the
+     logical operation replays against any newer base.
+
+Crash posture: a writer that dies after step 2 leaves an orphaned
+_data dir that no commit references — readers never see it and
+``vacuum()`` reclaims it. A writer that dies mid-step-3 leaves a
+``.tmp`` commit file — same story. There is NO window where a reader
+observes a partial table.
+
+Scale notes: the protocol adds zero data-path cost — data writes are
+the same distributed parquet writes; the commit is one tiny metadata
+file. Contention cost is one recompute per concurrent loser, the same
+optimistic model Delta uses. On HDFS/S3 deployments the os.link
+claim maps to atomic rename / conditional PUT; swapping this class
+for real Delta/Iceberg MERGE keeps every call-site signature.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sinks import dense_ids
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer targeted."""
+
+
+class TransactionalParquetSink:
+    """A single parquet-backed table with atomic, serialized commits.
+
+    Readers always see exactly one committed snapshot; writers race via
+    optimistic concurrency and rebase on conflict. ``read(version=N)``
+    time-travels to any retained commit.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, id_col: str = "id",
+                 max_retries: int = 20):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.max_retries = max_retries
+        os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+        os.makedirs(os.path.join(path, "_data"), exist_ok=True)
+        #: test/failure-injection hook, called between stage and commit
+        self._pre_commit_hook = None
+
+    # -- commit log --------------------------------------------------
+    def _commit_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._commit_dir()):
+            if name.endswith(".json") and not name.startswith("."):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int:
+        """Latest committed version; 0 = table never committed."""
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def _commit_record(self, version: int) -> dict:
+        with open(os.path.join(self._commit_dir(), f"{version}.json")) as f:
+            return json.load(f)
+
+    def _try_commit(self, version: int, data_dir: str, op: str) -> bool:
+        """Atomically claim ``version``: write the record to a temp
+        file, then os.link it into place. Returns False if another
+        writer already owns the version (the optimistic-concurrency
+        conflict signal); the record is complete before visible."""
+        record = {"version": version, "dir": data_dir, "op": op}
+        tmp = os.path.join(self._commit_dir(), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(self._commit_dir(), f"{version}.json")
+        try:
+            os.link(tmp, final)  # atomic claim: EEXIST iff already taken
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    # -- reads -------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame | None:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return None
+        if v not in self.versions():
+            raise ValueError(f"version {v} not committed (have {self.versions()})")
+        rec = self._commit_record(v)
+        return self.spark.read.parquet(os.path.join(self.path, rec["dir"]))
+
+    # -- writes ------------------------------------------------------
+    def _stage(self, df: DataFrame) -> str:
+        """Write a full table snapshot to a fresh, invisible data dir;
+        returns the dir path relative to the table root."""
+        rel = os.path.join("_data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+        return rel
+
+    def _commit_loop(self, compute, op: str) -> int:
+        """The optimistic writer loop: compute(current_df) -> new state,
+        stage it, try to claim the next version; on conflict drop the
+        orphan snapshot and rebase against the winner. Returns the
+        committed version number."""
+        for _ in range(self.max_retries):
+            base = self.current_version()
+            staged = self._stage(compute(self.read()))
+            if self._pre_commit_hook is not None:
+                self._pre_commit_hook()
+            if self._try_commit(base + 1, staged, op):
+                return base + 1
+            # conflict: our snapshot was computed against a stale base —
+            # it must never become visible. Reclaim it and rebase.
+            shutil.rmtree(os.path.join(self.path, staged), ignore_errors=True)
+        raise CommitConflict(
+            f"gave up after {self.max_retries} optimistic retries on {self.path}"
+        )
+
+    def _with_ids(self, df: DataFrame, current: DataFrame | None) -> DataFrame:
+        if self.id_col in df.columns:
+            return df
+        offset = 0
+        if current is not None and self.id_col in current.columns:
+            offset = current.agg(F.max(self.id_col)).first()[0] or 0
+        return dense_ids(df, self.id_col, offset)
+
+    def append(self, df: DataFrame) -> int:
+        """Append-insert as one atomic commit. Returns the version."""
+        def compute(current: DataFrame | None) -> DataFrame:
+            incoming = self._with_ids(df, current)
+            if current is None:
+                return incoming
+            return current.unionByName(incoming, allowMissingColumns=True)
+
+        return self._commit_loop(compute, "append")
+
+    def upsert(self, df: DataFrame, keys: list[str]) -> int:
+        """Keyed merge (update matches, insert the rest) as one atomic
+        commit — the Delta MERGE plan: survivors ⟕anti src ∪ updated ∪
+        inserts, with surrogate ids preserved on matches."""
+        def compute(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return self._with_ids(df, None)
+            src = df.drop(self.id_col) if self.id_col in df.columns else df
+            survivors = current.join(src.select(*keys), on=keys, how="left_anti")
+            id_map = current.select(self.id_col, *keys).dropDuplicates(keys)
+            matched = src.join(id_map, on=keys, how="inner")
+            offset = current.agg(F.max(self.id_col)).first()[0] or 0
+            inserts = dense_ids(
+                src.join(current.select(*keys), on=keys, how="left_anti"),
+                self.id_col, offset,
+            )
+            return survivors.unionByName(matched, allowMissingColumns=True).unionByName(
+                inserts, allowMissingColumns=True
+            )
+
+        return self._commit_loop(compute, "upsert")
+
+    def delete_where(self, condition) -> int:
+        """Predicate delete as one atomic commit (returns the version;
+        history snapshots stay intact — use vacuum(keep_last=...) to
+        retire them, the Delta DELETE+VACUUM split)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond, F.lit(False))
+
+        def compute(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                raise ValueError("delete_where on an empty table")
+            return current.filter(~hit)
+
+        return self._commit_loop(compute, "delete")
+
+    # -- maintenance -------------------------------------------------
+    def vacuum(self, keep_last: int | None = None) -> int:
+        """Reclaim invisible storage: orphaned data dirs no commit
+        references (crashed or conflicted writers) and stale .tmp
+        commit files. With ``keep_last=k``, also retires commits (and
+        their snapshots) older than the newest k — bounding time-travel
+        history. Never touches the current version. Returns the number
+        of directories/files removed."""
+        removed = 0
+        vs = self.versions()
+        if keep_last is not None and len(vs) > keep_last:
+            for v in vs[:-keep_last]:
+                rec = self._commit_record(v)
+                shutil.rmtree(os.path.join(self.path, rec["dir"]), ignore_errors=True)
+                os.unlink(os.path.join(self._commit_dir(), f"{v}.json"))
+                removed += 1
+            vs = self.versions()
+        live = {self._commit_record(v)["dir"] for v in vs}
+        data_root = os.path.join(self.path, "_data")
+        for name in os.listdir(data_root):
+            rel = os.path.join("_data", name)
+            if rel not in live:
+                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+                removed += 1
+        for name in os.listdir(self._commit_dir()):
+            if name.startswith(".tmp-"):
+                os.unlink(os.path.join(self._commit_dir(), name))
+                removed += 1
+        return removed

@@ -22,11 +22,24 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_seen ti
 STATE_SCHEMA = "n bigint, s double, last timestamp"
 
 
-def user_profile_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Running per-user profile with managed state across batches."""
+def user_profile_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    idle_timeout_ms: int = 24 * 60 * 60 * 1000,
+) -> DataFrame:
+    """Running per-user profile with managed state across batches.
+    Users idle longer than ``idle_timeout_ms`` of processing time are
+    evicted (final profile already emitted on their last update), so
+    state is bounded by the LIVE key count, not the all-time one."""
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [], "n_events": [], "sum_value": [], "last_seen": []}
+            )
+            return
         if state.exists:
             n, s, last = state.get
         else:
@@ -37,6 +50,7 @@ def user_profile_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
         state.update((n, round(s, 2), last))
+        state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 2)], "last_seen": [last]}
         )
@@ -49,7 +63,7 @@ def user_profile_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 
@@ -100,11 +114,108 @@ def user_profile_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start_sec bigint, session_end_sec bigint, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_sec bigint, last_sec bigint, n bigint"
+
+
+def session_timeout_stream(
+    events: DataFrame, gap_s: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Timer-driven session emission: a session summary row
+    (user_id, start, end, n_events) is emitted when the user goes
+    QUIET — either a later event arrives past the inactivity gap
+    (in-stream close), or the event-time watermark passes the open
+    session's deadline with no further events (EventTimeTimeout fires —
+    the close a pure groupBy/session_window can also reach, but here
+    the operator owns arbitrary per-session state, the shape custom
+    sessionizers need).
+
+    Semantics == the batch gaps-and-islands sessionize with the same
+    gap: a new session starts when sec > prev_sec + gap_s. Three paths
+    close a session:
+      1. in-batch: the next event is past the previous event's gap;
+      2. watermark already past the deadline when the batch lands
+         (historical replay — setting a timer in the past is illegal,
+         so the summary emits immediately and state clears);
+      3. the timer: state.setTimeoutTimestamp(last + gap) fires once
+         the watermark crosses it — the "user went quiet" case that
+         never gets another event to trigger path 1.
+    State per user is 3 ints; eviction is driven by event time, so a
+    churning key space stays bounded by the LIVE session count."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_sec": [start],
+                    "session_end_sec": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        secs = (batch["ts"].astype("int64") // 1_000_000_000).tolist()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for sec in secs:
+            if last is None:
+                start, last, n = sec, sec, 1
+            elif sec > last + gap_s:
+                closed.append((start, last, n))
+                start, last, n = sec, sec, 1
+            else:
+                last, n = max(last, sec), n + 1
+        deadline_ms = (last + gap_s) * 1000
+        if deadline_ms <= state.getCurrentWatermarkMs():
+            # replayed history: the session is already quiet past the
+            # watermark — a timer in the past is illegal, close it now
+            closed.append((start, last, n))
+            state.remove()
+        else:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(deadline_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start_sec": [c[0] for c in closed],
+                "session_end_sec": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 TRANSITION_OUT_SCHEMA = "user_id bigint, prev_type string, next_type string"
 TRANSITION_STATE_SCHEMA = "last_type string"
 
 
-def transition_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def transition_events_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    idle_timeout_ms: int = 6 * 60 * 60 * 1000,
+) -> DataFrame:
     """Streaming twin of the batch `event_transitions` query: emits one
     (user_id, prev_type, next_type) row per consecutive event pair in
     each user's stream, with the LAST event type carried across
@@ -118,10 +229,18 @@ def transition_events_stream(events: DataFrame, watermark: str = "2 hours") -> D
     for replayed logs and for any watermark-ordered upstream).
     Downstream, aggregate the emitted pairs into the transition matrix
     with a normal streaming groupBy count. State is one string per
-    user; scale is the number of live keys."""
+    user, and a ProcessingTimeTimeout evicts users idle longer than
+    ``idle_timeout_ms`` so state stays bounded on a churning key space
+    (a re-appearing user simply starts a fresh chain — the first event
+    after eviction pairs with nothing, same as a brand-new user)."""
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            # idle-key eviction: drop the carried type, emit nothing
+            state.remove()
+            yield pd.DataFrame({"user_id": [], "prev_type": [], "next_type": []})
+            return
         (last_type,) = state.get if state.exists else (None,)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
@@ -137,6 +256,7 @@ def transition_events_stream(events: DataFrame, watermark: str = "2 hours") -> D
                 nexts.append(t)
             prev = t
         state.update((prev,))
+        state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(prevs),
@@ -153,6 +273,6 @@ def transition_events_stream(events: DataFrame, watermark: str = "2 hours") -> D
             outputStructType=TRANSITION_OUT_SCHEMA,
             stateStructType=TRANSITION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

@@ -27,6 +27,7 @@ from easy_etl_spark.queries import QUERIES
 SKIP = {
     "sink_compaction",
     "sink_time_travel",
+    "txn_sink_merge",
     "incremental_agg_maintenance",
     "load_drop_sync",
     "load_metrics",
@@ -165,8 +166,9 @@ def test_driver_priority_prefix_integrity():
 def test_bench_headline_names_resolve():
     """bench.py's fixed headline set must stay resolvable — a renamed
     query would crash the driver's per-round benchmark."""
-    from bench import HEADLINE
+    from bench import HEADLINE, HEADLINE_V2
 
-    missing = [n for n in HEADLINE if n not in QUERIES]
-    assert not missing, f"bench headline names not registered: {missing}"
-    assert len(HEADLINE) == len(set(HEADLINE))
+    for names in (HEADLINE, HEADLINE_V2):
+        missing = [n for n in names if n not in QUERIES]
+        assert not missing, f"bench headline names not registered: {missing}"
+        assert len(names) == len(set(names))

@@ -133,6 +133,20 @@ def test_vocab_encode_join_is_broadcast(spark, sf_dir):
     assert f.sort_merge_joins == 0, "encode join degraded to sort-merge"
 
 
+def test_vocab_rank_distributed_no_driver_or_single_partition(spark, sf_dir):
+    # the vocabulary ranking must stay fully distributed: no driver
+    # round-trip (a collect would appear as LocalTableScan/CollectLimit
+    # feeding the encode join), no single-partition TakeOrdered merge,
+    # and every rank window partitioned by __pid
+    f = _facts(spark, sf_dir, "vocab_encode")
+    assert "CollectLimit" not in f.text, "vocab rank collects to the driver"
+    assert "TakeOrderedAndProject" not in f.text, "vocab rank merges on one task"
+    assert "LocalTableScan" not in f.text, "vocab rows re-entered via the driver"
+    for line in f.text.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "__pid" in line, line
+
+
 def test_knn_filtered_pushes_metadata_predicate(spark, sf_dir):
     # hybrid search: the label filter must reach the parquet scan so
     # excluded vectors are never read

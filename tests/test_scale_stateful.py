@@ -208,6 +208,60 @@ def test_stateful_transitions_match_batch_across_batch_boundary(spark, sf_dir, t
     assert got == want and got
 
 
+def test_session_timeout_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Timer-driven session emission must reproduce the batch
+    gaps-and-islands sessions EXACTLY. The corpus streams in two
+    time-ordered chunks; a far-future sentinel batch then pushes the
+    event-time watermark past every open session's deadline so the
+    EventTimeTimeout timers fire (Spark runs the extra no-data batch
+    for exactly this) — the sessions only the timer can close."""
+    import datetime
+
+    from easy_etl_spark.queries import QUERIES
+    from easy_etl_spark.streaming.stateful import session_timeout_stream
+
+    events = load_table(spark, sf_dir, "events")
+    d = tmp_path / "ev"
+    d.mkdir()
+    events.filter(F.col("ts") < F.lit("2024-01-15")).coalesce(1).write.parquet(
+        str(d / "a.parquet")
+    )
+    events.filter(F.col("ts") >= F.lit("2024-01-15")).coalesce(1).write.parquet(
+        str(d / "b.parquet")
+    )
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=30), -1, "sentinel", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).select(*events.columns)
+    sentinel.coalesce(1).write.parquet(str(d / "c.parquet"))
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(events.schema)
+        .parquet(str(d) + "/*.parquet")
+    )
+    out = session_timeout_stream(stream, gap_s=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sessions_flush")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            spark.table("t_sessions_flush")
+            .filter(F.col("user_id") >= 0)  # sentinel's own session stays open
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, QUERIES["events_session_flush"](spark, sf_dir).collect()))
+    assert got == want and got
+
+
 def test_streaming_dedup_ingest_lands_only_novel_docs(spark, sf_dir, tmp_path):
     """Continuous-ingestion dedup: after streaming the corpus in two
     batches through foreach_batch_dedup_ingest, the landed table is

@@ -151,6 +151,142 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert second.get("2024-01-01 15:00:00") == 1
 
 
+def test_session_window_drops_late_and_finalizes_on_watermark(spark, tmp_path):
+    """Late-data contract for SESSION windows, end-to-end in append
+    mode: a late row behind the checkpointed watermark must NOT extend
+    (or resurrect) an already-finalized session; a row ahead of the
+    watermark opens a new session; sessions emit exactly once, when the
+    watermark passes their close. Two availableNow runs over one
+    checkpoint pin batch order and the carried watermark."""
+    import datetime as dt
+    import glob as g
+    import shutil as sh
+
+    d = tmp_path / "late_sess"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt_sess")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        src = g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        sh.copy(src, d / f"{name}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).format("parquet").load(str(d))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+                "n",
+            )
+        )
+        emitted = {}
+
+        def sink(bdf, bid):
+            for r in bdf.collect():
+                emitted[r["s"]] = emitted.get(r["s"], 0) + r["n"]
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    # run 1: 12:00 + 12:10 merge into one session; 16:00 opens another
+    # and checkpoints the watermark at 15:00. The 12:00 session (closed
+    # 12:40 < 15:00) finalizes and emits exactly once, n=2.
+    write_file("b1", [(1, base, 7, "click", 1.0, "{}"),
+                      (2, base + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
+                      (3, base + dt.timedelta(hours=4), 7, "click", 1.0, "{}")])
+    assert run_once() == {"2024-01-01 12:00:00": 2}
+
+    # run 2 (same checkpoint): 12:20 is behind the 15:00 watermark ->
+    # dropped (must not resurrect the finalized 12:00 session); 15:10
+    # is ahead -> opens a session; 19:00 pushes the watermark to 18:00,
+    # finalizing both the 15:10 and the 16:00 sessions.
+    write_file("b2", [(4, base + dt.timedelta(minutes=20), 7, "click", 1.0, "{}"),
+                      (5, base + dt.timedelta(minutes=190), 7, "click", 1.0, "{}"),
+                      (6, base + dt.timedelta(hours=7), 7, "click", 1.0, "{}")])
+    second = run_once()
+    assert "2024-01-01 12:00:00" not in second  # late row dropped, no resurrect
+    assert second.get("2024-01-01 15:10:00") == 1
+    assert second.get("2024-01-01 16:00:00") == 1
+
+
+def test_session_timeout_stream_drops_late_rows(spark, tmp_path):
+    """Late-data contract for the custom stateful sessionizer
+    (applyInPandasWithState + EventTimeTimeout): input rows behind the
+    watermark are filtered before the function runs, so a late row
+    neither extends a flushed session nor emits a spurious one."""
+    import datetime as dt
+    import glob as g
+    import shutil as sh
+
+    from easy_etl_spark.streaming.stateful import session_timeout_stream
+
+    d = tmp_path / "late_state"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt_state")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        src = g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        sh.copy(src, d / f"{name}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).format("parquet").load(str(d))
+        out = session_timeout_stream(stream, gap_s=1800, watermark="1 hour")
+        emitted = []
+
+        def sink(bdf, bid):
+            emitted.extend(
+                (r["user_id"], r["session_start_sec"], r["n_events"])
+                for r in bdf.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    sec = lambda t: int(t.timestamp())  # noqa: E731
+    # run 1: one session (12:00, 12:10), then 16:00 -> watermark 15:00;
+    # the timer fires in the extra no-data batch and flushes n=2
+    write_file("b1", [(1, base, 7, "click", 1.0, "{}"),
+                      (2, base + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
+                      (3, base + dt.timedelta(hours=4), 7, "click", 1.0, "{}")])
+    first = run_once()
+    assert (7, sec(base), 2) in first
+    # run 2: 12:20 is behind the 15:00 watermark -> filtered out before
+    # the stateful function ever sees it: no spurious session, no
+    # resurrection; 19:00 advances the watermark and flushes 16:00 (n=1)
+    write_file("b2", [(4, base + dt.timedelta(minutes=20), 7, "click", 1.0, "{}"),
+                      (5, base + dt.timedelta(hours=7), 7, "click", 1.0, "{}")])
+    second = run_once()
+    starts = {s for (_, s, _) in second}
+    assert sec(base) not in starts and sec(base + dt.timedelta(minutes=20)) not in starts
+    assert (7, sec(base + dt.timedelta(hours=4)), 1) in second
+
+
 def test_streaming_curation_maps_match_batch(spark, sf_dir, tmp_path_factory):
     # the wave-4 curation ops are stateless per-row maps, so they run
     # UNCHANGED on a stream: same Column expressions, same results —

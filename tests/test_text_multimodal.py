@@ -62,9 +62,10 @@ def test_frame_sample_rows(spark):
     assert [r["offset"] for r in sorted(out, key=lambda r: r["offset"])] == [0, 64, 128, 192]
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_jpeg_still_contracted():
+    # JPEG (SOI marker) has no native codec here — must refuse loudly
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF")
 
 
 def test_bpe_ish_token_count_splits_punctuation(spark):
@@ -196,10 +197,88 @@ def test_decode_image_dispatch_and_contract():
     a = np.full((2, 2, 3), 9, dtype="uint8")
     assert (M.decode_image(M.encode_ppm(a)) == a).all()
     assert (M.decode_image(M.encode_bmp(a)) == a).all()
+    assert (M.decode_image(M.encode_png(a)) == a).all()
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG\r\n\x1a\n....")
+        M.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: no codec here
     with pytest.raises(ValueError):
         M.decode_ppm(b"P6\n2 2\n255\n\x00")  # truncated payload
+
+
+def test_png_roundtrip_every_filter_and_color_type():
+    """The stdlib-zlib PNG codec must reconstruct pixels exactly under
+    EVERY scanline filter (None/Sub/Up/Average/Paeth) for RGB, RGBA and
+    greyscale — including 1-pixel-wide images where the left neighbor
+    is always zero."""
+    import numpy as np
+
+    from easy_etl_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(42)
+    for shape in [(6, 5, 3), (4, 9, 4), (5, 3, 1), (1, 1, 3), (7, 1, 4)]:
+        a = rng.randint(0, 256, size=shape).astype("uint8")
+        for f in [None, [0] * shape[0], [1] * shape[0], [2] * shape[0],
+                  [3] * shape[0], [4] * shape[0]]:
+            got = M.decode_png(M.encode_png(a, f))
+            assert got.shape == shape and np.array_equal(got, a), (shape, f)
+    # 2-d greyscale input encodes as color type 0 and round-trips
+    g = rng.randint(0, 256, size=(4, 7)).astype("uint8")
+    assert np.array_equal(M.decode_png(M.encode_png(g)), g[:, :, None])
+
+
+def test_png_rejects_corruption_and_unsupported_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from easy_etl_spark.operators import multimodal as M
+
+    a = np.arange(4 * 3 * 3, dtype="uint8").reshape(4, 3, 3)
+    good = bytearray(M.encode_png(a))
+    good[40] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(good))
+
+    def png_with_ihdr(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 3, 4, depth, color, 0, 0, interlace)
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        body = zlib.compress(b"\x00" * 100)
+        idat = (
+            struct.pack(">I", len(body)) + b"IDAT" + body
+            + struct.pack(">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF)
+        )
+        return b"\x89PNG\r\n\x1a\n" + chunk + idat
+
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        M.decode_png(png_with_ihdr(16, 2, 0))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        M.decode_png(png_with_ihdr(8, 2, 1))
+    with pytest.raises(NotImplementedError, match="color type"):
+        M.decode_png(png_with_ihdr(8, 3, 0))  # palette
+
+
+def test_image_stats_handles_png_rgba_and_grey(spark):
+    """image_stats must decode PNG blobs and normalize channels: RGBA
+    drops alpha, greyscale replicates into R=G=B."""
+    import numpy as np
+
+    from easy_etl_spark.operators import multimodal as M
+
+    rgba = np.zeros((2, 2, 4), dtype="uint8")
+    rgba[..., 0], rgba[..., 1], rgba[..., 2], rgba[..., 3] = 10, 20, 30, 255
+    grey = np.full((3, 3), 7, dtype="uint8")
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_png(rgba))), (2, bytearray(M.encode_png(grey)))],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in M.image_stats(df).collect()}
+    assert (got[1]["r_sum"], got[1]["g_sum"], got[1]["b_sum"]) == (40, 80, 120)
+    assert (got[1]["width"], got[1]["height"]) == (2, 2)
+    assert (got[2]["r_sum"], got[2]["g_sum"], got[2]["b_sum"]) == (63, 63, 63)
 
 
 def test_resize_image_nearest_neighbor():

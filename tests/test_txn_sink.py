@@ -1,0 +1,128 @@
+"""TransactionalParquetSink: atomic commit protocol, optimistic
+concurrent writers (conflict -> rebase -> retry), crash leftovers, and
+vacuum reclamation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from easy_etl_spark.sources.txn import CommitConflict, TransactionalParquetSink
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_append_upsert_versions_and_time_travel(spark, tmp_path):
+    sink = TransactionalParquetSink(spark, str(tmp_path / "t"))
+    assert sink.read() is None and sink.current_version() == 0
+    v1 = sink.append(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
+    v2 = sink.upsert(spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")]), keys=["k"])
+    assert (v1, v2) == (1, 2)
+    assert _rows(sink.read(), "k", "v") == [(1, "a"), (2, "B"), (3, "c")]
+    # time travel: v1 still reads the pre-upsert state
+    assert _rows(sink.read(version=1), "k", "v") == [(1, "a"), (2, "b")]
+    # surrogate ids: stable across the upsert for matched keys
+    ids_v1 = {r["k"]: r["id"] for r in sink.read(version=1).collect()}
+    ids_v2 = {r["k"]: r["id"] for r in sink.read().collect()}
+    assert ids_v2[1] == ids_v1[1] and ids_v2[2] == ids_v1[2]
+    assert ids_v2[3] not in ids_v1.values()
+    with pytest.raises(ValueError, match="not committed"):
+        sink.read(version=9)
+
+
+def test_concurrent_writers_conflict_rebases_and_loses_no_rows(spark, tmp_path):
+    """Writer overlap: A stages its snapshot, then B commits first. A's
+    commit claim must fail atomically, its stale snapshot must never
+    become visible, and the automatic rebase must replay A's append on
+    top of B's table — both batches land, serialized as v2 then v3."""
+    path = str(tmp_path / "t")
+    a = TransactionalParquetSink(spark, path)
+    b = TransactionalParquetSink(spark, path)
+    a.append(spark.createDataFrame([Row(k=1, v="base")]))
+
+    def interloper():
+        a._pre_commit_hook = None  # fire once
+        b.append(spark.createDataFrame([Row(k=2, v="from-b")]))
+
+    a._pre_commit_hook = interloper
+    v = a.append(spark.createDataFrame([Row(k=3, v="from-a")]))
+    assert v == 3  # b won v2; a rebased and committed v3
+    assert _rows(a.read(), "k", "v") == [(1, "base"), (2, "from-b"), (3, "from-a")]
+    # the conflicted (pre-rebase) snapshot was reclaimed on the spot:
+    # only the three committed snapshots remain
+    live = {a._commit_record(vv)["dir"] for vv in a.versions()}
+    on_disk = {os.path.join("_data", n) for n in os.listdir(os.path.join(path, "_data"))}
+    assert on_disk == live
+
+
+def test_try_commit_claim_is_exclusive(spark, tmp_path):
+    """Two fully-staged snapshots racing for the same version: exactly
+    one os.link claim wins; the loser sees False, not a clobber."""
+    sink = TransactionalParquetSink(spark, str(tmp_path / "t"))
+    d1 = sink._stage(spark.createDataFrame([Row(k=1)]))
+    d2 = sink._stage(spark.createDataFrame([Row(k=2)]))
+    assert sink._try_commit(1, d1, "append") is True
+    assert sink._try_commit(1, d2, "append") is False
+    assert sink._commit_record(1)["dir"] == d1  # winner's record intact
+    assert _rows(sink.read(), "k") == [(1,)]
+
+
+def test_crashed_writer_leftovers_invisible_and_vacuumed(spark, tmp_path):
+    """A writer that dies after staging (orphan _data dir) or mid-claim
+    (.tmp commit file) leaves nothing a reader can see; vacuum reclaims
+    both."""
+    sink = TransactionalParquetSink(spark, str(tmp_path / "t"))
+    sink.append(spark.createDataFrame([Row(k=1, v="a")]))
+    # simulate a crash: fully-written snapshot, no commit record
+    orphan = sink._stage(spark.createDataFrame([Row(k=99, v="ghost")]))
+    # and a half-finished commit claim
+    tmp = os.path.join(sink._commit_dir(), ".tmp-deadbeef")
+    open(tmp, "w").write("{")
+    assert _rows(sink.read(), "k", "v") == [(1, "a")], "reader saw uncommitted data"
+    assert sink.current_version() == 1
+    removed = sink.vacuum()
+    assert removed == 2
+    assert not os.path.exists(os.path.join(str(tmp_path / "t"), orphan))
+    assert not os.path.exists(tmp)
+    assert _rows(sink.read(), "k", "v") == [(1, "a")]
+
+
+def test_vacuum_keep_last_bounds_history(spark, tmp_path):
+    sink = TransactionalParquetSink(spark, str(tmp_path / "t"))
+    for i in range(4):
+        sink.append(spark.createDataFrame([Row(k=i)]))
+    assert sink.versions() == [1, 2, 3, 4]
+    sink.vacuum(keep_last=2)
+    assert sink.versions() == [3, 4]
+    assert _rows(sink.read(), "k") == [(0,), (1,), (2,), (3,)]  # current intact
+    with pytest.raises(ValueError, match="not committed"):
+        sink.read(version=1)
+
+
+def test_delete_where_commits_and_history_survives_until_vacuum(spark, tmp_path):
+    sink = TransactionalParquetSink(spark, str(tmp_path / "t"))
+    sink.append(spark.createDataFrame([Row(k=1, tag="pii"), Row(k=2, tag="ok")]))
+    v = sink.delete_where("tag = 'pii'")
+    assert v == 2
+    assert _rows(sink.read(), "k") == [(2,)]
+    # history still holds it (rollback safety) until vacuum retires it
+    assert _rows(sink.read(version=1), "k") == [(1,), (2,)]
+    sink.vacuum(keep_last=1)
+    assert sink.versions() == [2]
+
+
+def test_commit_conflict_gives_up_after_max_retries(spark, tmp_path):
+    path = str(tmp_path / "t")
+    a = TransactionalParquetSink(spark, path, max_retries=2)
+    b = TransactionalParquetSink(spark, path)
+
+    def always_interlope():
+        b.append(spark.createDataFrame([Row(k=0)]))
+
+    a._pre_commit_hook = always_interlope
+    with pytest.raises(CommitConflict, match="2 optimistic retries"):
+        a.append(spark.createDataFrame([Row(k=1)]))

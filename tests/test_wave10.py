@@ -100,6 +100,56 @@ def test_delete_where_null_predicate_keeps_rows_and_unpartitioned_path(spark, tm
     assert sink.delete_where("tag = 'zzz'") == 0
 
 
+def test_delete_where_escaped_and_null_partition_values(spark, tmp_path):
+    """Partition values Spark path-escapes (':' and ' ' in timestamps,
+    '/' and '%' in strings) and NULL partitions (stored as
+    __HIVE_DEFAULT_PARTITION__) must both delete cleanly — the touched
+    directories are derived from input_file_name(), never re-rendered
+    from the values."""
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "e"), partition_by=["batch"])
+    rows = [
+        Row(uid=1, batch="2024-01-01 10:30:00"),
+        Row(uid=2, batch="2024-01-01 10:30:00"),
+        Row(uid=3, batch="a/b%c"),
+        Row(uid=4, batch=None),
+        Row(uid=5, batch="plain"),
+    ]
+    sink.append(spark.createDataFrame(rows))
+    # escaped-chars partition: delete one of its two rows (rewrite path)
+    assert sink.delete_where("uid = 1") == 1
+    # slash/percent partition: delete all of it (rmtree path)
+    assert sink.delete_where("batch = 'a/b%c'") == 1
+    # NULL partition: = NULL never matches, IS NULL must
+    assert sink.delete_where("batch IS NULL") == 1
+    left = {(r.uid, r.batch) for r in sink.read().select("uid", "batch").collect()}
+    assert left == {(2, "2024-01-01 10:30:00"), (5, "plain")}
+
+
+def test_delete_where_purges_retained_version_snapshots(spark, tmp_path):
+    """A GDPR purge must not survive in time travel: retained .__v{k}
+    snapshots are rewritten without the matching rows (and delete's
+    default is purge_versions=True on both paths)."""
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "v"), keep_versions=3)
+    sink.append(spark.createDataFrame([Row(uid=1, tag="pii"), Row(uid=2, tag="ok")]))
+    sink.append(spark.createDataFrame([Row(uid=3, tag="ok")]))
+    assert sink.versions()  # history exists and contains uid=1
+    assert sink.delete_where("tag = 'pii'") == 1
+    assert {r.uid for r in sink.read().collect()} == {2, 3}
+    for v in sink.versions():
+        snap = sink.read(version=v)
+        assert snap.filter("tag = 'pii'").count() == 0, f"purged row survives in v{v}"
+    # opt-out: rollback-style delete keeps history intact
+    sink2 = ParquetSink(spark, str(tmp_path / "w"), keep_versions=2)
+    sink2.append(spark.createDataFrame([Row(uid=1, tag="bad")]))
+    sink2.append(spark.createDataFrame([Row(uid=2, tag="ok")]))
+    assert sink2.delete_where("tag = 'bad'", purge_versions=False) == 1
+    assert sink2.read(version=sink2.versions()[-1]).filter("tag = 'bad'").count() == 1
+
+
 def test_persisted_shingle_index_matches_recompute_path(spark, sf_dir, tmp_path):
     from easy_etl_spark.operators.dedup import (
         incremental_dups_against_index,

@@ -67,6 +67,20 @@ def test_pca_projection_matches_numpy_and_is_deterministic(spark, sf_dir):
     assert vals[0] >= cov.diagonal().max() - 1e-9
 
 
+def test_pca_rejects_degenerate_corpus(spark, sf_dir):
+    """0 or 1 vectors cannot form a sample covariance — the guard must
+    raise a clear ValueError, not ZeroDivisionError/max-of-empty."""
+    import pytest
+
+    from easy_etl_spark.operators.similarity import pca_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="at least 2 vectors"):
+        pca_components(emb.limit(0))
+    with pytest.raises(ValueError, match="at least 2 vectors"):
+        pca_components(emb.limit(1))
+
+
 def test_recursive_org_rollup_matches_python_tree(spark, sf_dir):
     import math as _math
 
