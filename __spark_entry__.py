@@ -81,6 +81,7 @@ _PRIORITY = [
     # multimodal (real-decode reps first; byte-plumbing variant follows)
     "multimodal_decode",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
     "multimodal_features",
     # time-series regularization, entity resolution, CDC, exact stats
     "events_resample_fill",

@@ -4,15 +4,16 @@ with typed metadata, processed by Arrow-batched pandas functions over
 
 The Spark-side plumbing (schema, partition-preserving batch iteration,
 UDF signatures, output shapes) is real and tested, and so are the
-codecs: binary PPM (P6), uncompressed 24-bit BMP, and 8-bit PNG
-(stdlib zlib inflate + full None/Sub/Up/Average/Paeth scanline
-unfiltering, CRC-verified chunks) all decode natively in pure
-numpy — no external image libraries — so `image_stats` does actual
-pixel math end-to-end on compressed input too. JPEG (DCT+huffman)
-still needs a codec library that is not in this container;
-`decode_image` raises NotImplementedError for it by contract, and
-`fake_feature_extract` remains the deterministic byte-level stand-in
-where format-agnostic features are wanted.
+codecs: binary PPM (P6), uncompressed 24-bit BMP, 8-bit PNG (stdlib
+zlib inflate + full None/Sub/Up/Average/Paeth scanline unfiltering,
+CRC-verified chunks) and baseline JPEG (operators/jpegcodec.py —
+marker walk, Huffman entropy decode, dequant + IDCT, chroma
+upsampling) all decode natively in pure numpy — no external image
+libraries — so `image_stats` does actual pixel math end-to-end on
+compressed input too. Unsupported VARIANTS (progressive JPEG, 16-bit
+PNG, Adam7) refuse loudly; `fake_feature_extract` remains the
+deterministic byte-level stand-in where format-agnostic features are
+wanted.
 
 Scale design: media blobs ride through `mapInPandas` in Arrow record
 batches — columnar transfer, no per-row pickling; batch size is
@@ -29,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import jpegcodec
 
 #: output schema of featurize(): metadata + fixed-width feature vector
 FEATURE_SCHEMA = (
@@ -424,19 +427,24 @@ def decode_png(data: bytes):
 
 def decode_image(data: bytes):
     """Decode an image payload by magic number: binary PPM (P6),
-    uncompressed 24-bit BMP, and — via the stdlib-zlib codec above —
-    8-bit PNG all decode natively (pure numpy, no codec libraries).
-    JPEG/other compressed formats still require an external codec and
-    raise NotImplementedError by contract."""
+    uncompressed 24-bit BMP, 8-bit PNG (stdlib zlib + numpy
+    unfiltering) and baseline JPEG (operators/jpegcodec.py — pure
+    numpy Huffman+IDCT) all decode natively, no codec libraries.
+    Unrecognized formats raise NotImplementedError by contract;
+    unsupported VARIANTS of a recognized format (progressive JPEG,
+    16-bit or Adam7 PNG) raise from their codec with the specific
+    reason."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return jpegcodec.decode_jpeg(data)
     raise NotImplementedError(
-        "JPEG/other compressed codecs not available in this environment; "
-        "PPM (P6), 24-bit BMP and 8-bit PNG decode natively"
+        "unrecognized image format; PPM (P6), 24-bit BMP, 8-bit PNG and "
+        "baseline JPEG decode natively"
     )
 
 
@@ -514,6 +522,54 @@ def synth_png_images(docs: DataFrame, max_docs: int = 100) -> DataFrame:
     )
 
 
+def synth_jpeg_images(docs: DataFrame, max_docs: int = 100) -> DataFrame:
+    """Deterministic baseline-JPEG fixture column: doc_id → a REAL
+    greyscale JPEG (SOF0, Huffman entropy coding, quantized DCT) built
+    from constant 8x8 blocks whose value is
+    2·((doc_id·13 + blockindex·29) % 128), with w = 8·(2 + doc_id%3),
+    h = 8·(1 + doc_id%2). Constant EVEN-valued blocks survive the lossy
+    pipeline bit-exactly (see jpegcodec module docstring), so a DuckDB
+    oracle replays the decoded pixel sums as pure integer SQL — any
+    marker/Huffman/dequant/IDCT bug moves a sum. The lossy path on
+    arbitrary images is pinned by round-trip tolerance pytests."""
+    import sys
+
+    from . import jpegcodec
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        cloudpickle.register_pickle_by_value(jpegcodec)
+    except Exception:
+        pass
+    encode_jpeg = jpegcodec.encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                w, h = 8 * (2 + doc_id % 3), 8 * (1 + doc_id % 2)
+                img = np.zeros((h, w), dtype="uint8")
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        bidx = by * (w // 8) + bx
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            2 * ((doc_id * 13 + bidx * 29) % 128)
+                        )
+                out["doc_id"].append(doc_id)
+                out["media"].append(encode_jpeg(img))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < max_docs)
+        .mapInPandas(run, "doc_id bigint, media binary")
+    )
+
+
 def image_stats(media_df: DataFrame) -> DataFrame:
     """REAL decode + pixel math over the binary column: parse each blob
     with decode_image, emit width/height and integer-exact per-channel
@@ -522,10 +578,13 @@ def image_stats(media_df: DataFrame) -> DataFrame:
     never moved, only their derived metadata is)."""
     import sys
 
+    from . import jpegcodec
+
     try:
         from pyspark import cloudpickle
 
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        cloudpickle.register_pickle_by_value(jpegcodec)
     except Exception:
         pass
 

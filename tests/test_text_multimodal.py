@@ -62,9 +62,12 @@ def test_frame_sample_rows(spark):
     assert [r["offset"] for r in sorted(out, key=lambda r: r["offset"])] == [0, 64, 128, 192]
 
 
-def test_decode_image_jpeg_still_contracted():
-    # JPEG (SOI marker) has no native codec here — must refuse loudly
+def test_decode_image_unknown_format_contracted():
+    # unrecognized magic numbers must refuse loudly
     with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89a......")
+    with pytest.raises(ValueError):
+        # JPEG SOI but truncated garbage: real codec, real parse error
         multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF")
 
 
@@ -194,12 +197,17 @@ def test_decode_image_dispatch_and_contract():
 
     from easy_etl_spark.operators import multimodal as M
 
+    from easy_etl_spark.operators.jpegcodec import encode_jpeg
+
     a = np.full((2, 2, 3), 9, dtype="uint8")
     assert (M.decode_image(M.encode_ppm(a)) == a).all()
     assert (M.decode_image(M.encode_bmp(a)) == a).all()
     assert (M.decode_image(M.encode_png(a)) == a).all()
+    # JPEG routes through the baseline codec (even constant -> exact)
+    j = np.full((8, 8), 42, dtype="uint8")
+    assert (M.decode_image(encode_jpeg(j))[:, :, 0] == j).all()
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: no codec here
+        M.decode_image(b"GIF89a......")  # no codec for this format
     with pytest.raises(ValueError):
         M.decode_ppm(b"P6\n2 2\n255\n\x00")  # truncated payload
 
@@ -292,6 +300,90 @@ def test_resize_image_nearest_neighbor():
     # nearest-neighbor: output pixel (y, x) = input (y*8//2, x*8//4)
     ys, xs = (np.arange(2) * 8) // 2, (np.arange(4) * 8) // 4
     assert (out == a[ys][:, xs]).all()
+
+
+def test_jpeg_constant_even_blocks_roundtrip_exactly():
+    """Constant 8x8 blocks of EVEN value survive the lossy JPEG
+    pipeline bit-exactly (DC-only spectrum, boundary-safe floor
+    rounding at q_dc=16) — the property the SQL oracle replays."""
+    import numpy as np
+
+    from easy_etl_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.zeros((16, 24), dtype="uint8")
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 2 * ((by * 7 + bx * 29) % 128)
+    got = decode_jpeg(encode_jpeg(img))
+    assert got.shape == (16, 24, 1)
+    assert np.array_equal(got[:, :, 0], img)
+
+
+def test_jpeg_lossy_roundtrip_within_tolerance():
+    """Arbitrary (smooth) images survive encode->decode within a small
+    error band — the real AC/Huffman/color path, greyscale and RGB,
+    including non-multiple-of-8 dims (pad + crop)."""
+    import numpy as np
+
+    from easy_etl_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    y, x = np.arange(16), np.arange(24)
+    grey = ((np.add.outer(y * 3, x * 2)) % 200 + 20).astype("uint8")
+    dg = decode_jpeg(encode_jpeg(grey))[:, :, 0].astype(int)
+    assert np.abs(dg - grey.astype(int)).max() <= 8
+
+    rgb = np.zeros((16, 16, 3), dtype="uint8")
+    rgb[:, :, 0] = np.add.outer(y * 5, np.arange(16) * 3) % 256
+    rgb[:, :, 1] = 100
+    rgb[:, :, 2] = np.add.outer(y * 2, np.arange(16) * 7) % 256
+    dc = decode_jpeg(encode_jpeg(rgb)).astype(int)
+    assert dc.shape == (16, 16, 3)
+    assert np.abs(dc - rgb.astype(int)).max() <= 12
+
+    odd = ((np.add.outer(np.arange(13) * 5, np.arange(19) * 3)) % 200).astype("uint8")
+    do = decode_jpeg(encode_jpeg(odd))
+    assert do.shape == (13, 19, 1)
+    assert np.abs(do[:, :, 0].astype(int) - odd.astype(int)).max() <= 10
+
+
+def test_jpeg_refuses_progressive_and_12bit():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from easy_etl_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    base = bytearray(encode_jpeg(np.full((8, 8), 100, dtype="uint8")))
+    sof_at = bytes(base).find(b"\xff\xc0")
+    assert sof_at > 0
+    prog = bytearray(base)
+    prog[sof_at + 1] = 0xC2  # SOF2: progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    deep = bytearray(base)
+    deep[sof_at + 4] = 12  # precision byte inside SOF payload
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(deep))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_image_stats_dispatch(spark):
+    """image_stats must route JPEG blobs through the real decoder:
+    greyscale constant image -> exact replicated channel sums."""
+    import numpy as np
+
+    from easy_etl_spark.operators import multimodal as M
+    from easy_etl_spark.operators.jpegcodec import encode_jpeg
+
+    img = np.full((8, 16), 50, dtype="uint8")  # even value -> exact
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img)))], "doc_id long, media binary"
+    )
+    r = M.image_stats(df).collect()[0]
+    assert (r["width"], r["height"]) == (16, 8)
+    assert r["r_sum"] == r["g_sum"] == r["b_sum"] == 50 * 8 * 16
 
 
 # -- BPE merge training ------------------------------------------------
