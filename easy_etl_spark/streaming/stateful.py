@@ -5,8 +5,11 @@ survives across micro-batches in managed state.
 This is the template for operators Structured Streaming's built-ins
 can't express (custom counters, decaying scores, per-key ML state).
 State is per-key and partitioned by the grouping hash — horizontal
-scale is the number of distinct keys, and ProcessingTimeTimeout evicts
-idle keys so state stays bounded on unbounded input.
+scale is the number of distinct keys, and event-time timers
+(GroupStateTimeout.EventTimeTimeout) evict idle keys so state stays
+bounded on unbounded input while Trigger.AvailableNow replays still
+terminate (processing-time timers would keep the query alive forever;
+see _event_time_evict).
 """
 
 from __future__ import annotations
@@ -22,15 +25,39 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_seen ti
 STATE_SCHEMA = "n bigint, s double, last timestamp"
 
 
+_DAY_MS = 24 * 60 * 60 * 1000
+
+
+def _event_time_evict(state: GroupState, last_ms: int, horizon_ms: int) -> bool:
+    """Shared idle-key eviction: arm an EVENT-TIME timer at
+    last-activity + horizon, or evict immediately when the watermark
+    already passed it (replayed history). Event-time (not processing-
+    time) on purpose: ProcessingTimeTimeout forces Spark to keep
+    running empty micro-batches forever to fire its timers —
+    Trigger.AvailableNow replays never terminate under it — while
+    event-time timers ride the same watermark the operator already
+    declares, terminate cleanly, and evict identically in replay and
+    live runs. Returns True if the key was evicted now."""
+    deadline = last_ms + horizon_ms
+    if deadline <= state.getCurrentWatermarkMs():
+        state.remove()
+        return True
+    state.setTimeoutTimestamp(deadline)
+    return False
+
+
 def user_profile_stream(
     events: DataFrame,
     watermark: str = "2 hours",
-    idle_timeout_ms: int = 24 * 60 * 60 * 1000,
+    idle_horizon_days: int = 90,
 ) -> DataFrame:
     """Running per-user profile with managed state across batches.
-    Users idle longer than ``idle_timeout_ms`` of processing time are
-    evicted (final profile already emitted on their last update), so
-    state is bounded by the LIVE key count, not the all-time one."""
+    Users idle longer than ``idle_horizon_days`` of EVENT time are
+    evicted (their final profile was already emitted on their last
+    update), so state is bounded by the trailing-horizon live-key
+    count, not the all-time one — see _event_time_evict for why the
+    timer is event-time, not processing-time."""
+    horizon_ms = idle_horizon_days * _DAY_MS
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key
@@ -42,6 +69,14 @@ def user_profile_stream(
             return
         if state.exists:
             n, s, last = state.get
+            # the timer only fires for keys WITHOUT data in the batch;
+            # a key returning after its horizon must expire its stale
+            # carry on the data path too
+            if (
+                int(pd.Timestamp(last).value // 1_000_000) + horizon_ms
+                <= state.getCurrentWatermarkMs()
+            ):
+                n, s, last = 0, 0.0, None
         else:
             n, s, last = 0, 0.0, None
         for pdf in pdfs:
@@ -50,7 +85,7 @@ def user_profile_stream(
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
         state.update((n, round(s, 2), last))
-        state.setTimeoutDuration(idle_timeout_ms)
+        _event_time_evict(state, int(pd.Timestamp(last).value // 1_000_000), horizon_ms)
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 2)], "last_seen": [last]}
         )
@@ -63,7 +98,7 @@ def user_profile_stream(
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -208,13 +243,13 @@ def session_timeout_stream(
 
 
 TRANSITION_OUT_SCHEMA = "user_id bigint, prev_type string, next_type string"
-TRANSITION_STATE_SCHEMA = "last_type string"
+TRANSITION_STATE_SCHEMA = "last_type string, last_ms bigint"
 
 
 def transition_events_stream(
     events: DataFrame,
     watermark: str = "2 hours",
-    idle_timeout_ms: int = 6 * 60 * 60 * 1000,
+    idle_horizon_days: int = 90,
 ) -> DataFrame:
     """Streaming twin of the batch `event_transitions` query: emits one
     (user_id, prev_type, next_type) row per consecutive event pair in
@@ -229,10 +264,12 @@ def transition_events_stream(
     for replayed logs and for any watermark-ordered upstream).
     Downstream, aggregate the emitted pairs into the transition matrix
     with a normal streaming groupBy count. State is one string per
-    user, and a ProcessingTimeTimeout evicts users idle longer than
-    ``idle_timeout_ms`` so state stays bounded on a churning key space
-    (a re-appearing user simply starts a fresh chain — the first event
-    after eviction pairs with nothing, same as a brand-new user)."""
+    user, and an EVENT-TIME timer evicts users idle longer than
+    ``idle_horizon_days`` so state stays bounded on a churning key
+    space (a re-appearing user simply starts a fresh chain — the first
+    event after eviction pairs with nothing, same as a brand-new user;
+    see _event_time_evict for why the timer is event-time)."""
+    horizon_ms = idle_horizon_days * _DAY_MS
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key
@@ -241,7 +278,13 @@ def transition_events_stream(
             state.remove()
             yield pd.DataFrame({"user_id": [], "prev_type": [], "next_type": []})
             return
-        (last_type,) = state.get if state.exists else (None,)
+        last_type, last_ms = state.get if state.exists else (None, None)
+        # stale-carry expiry on the data path (the timer only covers
+        # keys with NO data in the batch): a user returning after the
+        # horizon starts a fresh chain — the first event pairs with
+        # nothing, same as if the timer had evicted them
+        if last_ms is not None and last_ms + horizon_ms <= state.getCurrentWatermarkMs():
+            last_type = None
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
             yield pd.DataFrame({"user_id": [], "prev_type": [], "next_type": []})
@@ -255,8 +298,9 @@ def transition_events_stream(
                 prevs.append(prev)
                 nexts.append(t)
             prev = t
-        state.update((prev,))
-        state.setTimeoutDuration(idle_timeout_ms)
+        new_last_ms = int(pd.Timestamp(batch["ts"].max()).value // 1_000_000)
+        state.update((prev, new_last_ms))
+        _event_time_evict(state, new_last_ms, horizon_ms)
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(prevs),
@@ -273,6 +317,6 @@ def transition_events_stream(
             outputStructType=TRANSITION_OUT_SCHEMA,
             stateStructType=TRANSITION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

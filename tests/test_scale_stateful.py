@@ -208,6 +208,46 @@ def test_stateful_transitions_match_batch_across_batch_boundary(spark, sf_dir, t
     assert got == want and got
 
 
+def test_stateful_idle_keys_evicted_by_event_time_and_query_terminates(spark, tmp_path):
+    """Bounded-state contract: a user idle past the event-time horizon
+    is evicted (their chain resets on return — n_events restarts at 1,
+    not continuing the old count), and the availableNow replay
+    TERMINATES — the reason the eviction timer is event-time, not
+    processing-time (ProcessingTimeTimeout keeps empty batches running
+    forever)."""
+    import datetime as dt
+
+    from easy_etl_spark.streaming.stateful import user_profile_stream
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / name))
+
+    write_file("a.parquet", [(1, base, 7, "click", 1.0, "{}"),
+                             (2, base + dt.timedelta(minutes=10), 7, "click", 1.0, "{}")])
+    write_file("b.parquet", [(3, base + dt.timedelta(days=40), 8, "click", 1.0, "{}")])
+    write_file("c.parquet", [(4, base + dt.timedelta(days=40, minutes=5), 7, "click", 1.0, "{}")])
+    stream = spark.readStream.option("maxFilesPerTrigger", 1).schema(schema).parquet(
+        str(d) + "/*.parquet"
+    )
+    out = user_profile_stream(stream, idle_horizon_days=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_evict")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "availableNow replay did not terminate"
+    rows = [(r["n_events"]) for r in spark.table("t_evict").filter("user_id = 7").collect()]
+    # first chain reached 2; after eviction the return restarts at 1
+    assert 2 in rows and rows[-1] == 1 and 3 not in rows
+
+
 def test_session_timeout_stream_matches_batch(spark, sf_dir, tmp_path):
     """Timer-driven session emission must reproduce the batch
     gaps-and-islands sessions EXACTLY. The corpus streams in two
