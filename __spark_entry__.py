@@ -62,6 +62,7 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "curate_corpus",
+    "leakage_safe_splits",
     # similarity / search (oracle-checked int twins first; the
     # double/xxhash64 production variants are rows-only and follow in
     # the tail)

@@ -54,6 +54,52 @@ def curate_corpus(
     return clean.select(id_col, "quality")
 
 
+def leakage_safe_splits(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    weights: tuple[int, int, int] = (80, 10, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_lsh: bool = False,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: documents are first resolved into near-dup clusters
+    (n-gram Jaccard ≥ threshold → connected components), then the
+    SPLIT IS DECIDED PER CLUSTER — every member hashes on its cluster
+    canonical's id, so a training document's near-twin can never land
+    in the eval split (the classic contamination bug a per-document
+    hash split ships silently). Isolated documents are their own
+    cluster. Returns (doc_id, cluster_id, split).
+
+    The hash is the engine-portable md5_uniform (sampling.py), so the
+    assignment is deterministic across runs, engines and partition
+    layouts, and a DuckDB oracle replays it exactly. Scale: pair
+    generation is the only super-linear stage — ``use_lsh=True`` swaps
+    in MinHash+LSH banding (same downstream contract); the split
+    decision itself is one left join + per-row hash, no extra
+    shuffle beyond the cluster resolution."""
+    from .sampling import md5_uniform
+
+    lo, mid = weights[0], weights[0] + weights[1]
+    modulus = sum(weights)
+    pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
+    pairs = pair_fn(docs, threshold=threshold, text_col=text_col, id_col=id_col)
+    clusters = duplicate_clusters(pairs)
+    assign = docs.select(id_col).join(clusters, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )
+    bucket = md5_uniform(F.col("cluster_id"), modulus)
+    return assign.select(
+        id_col,
+        "cluster_id",
+        F.when(bucket < lo, "train")
+        .when(bucket < mid, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def cap_sources_by_budget(
     docs: DataFrame,
     budget_tokens: int,

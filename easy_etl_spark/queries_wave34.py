@@ -9,6 +9,9 @@ New operator families:
                            (pure-numpy Huffman + IDCT) with pixel-level
                            oracle coverage — closes the multimodal
                            codec contract entirely.
+  - leakage_safe_splits    contamination-proof train/val/test splits:
+                           near-dup clusters assigned as a unit, so no
+                           eval doc has a training near-twin.
   - txn_sink_merge         atomic-commit transactional sink (Delta-style
                            optimistic concurrency): append + upsert as
                            serialized commits with time travel; the
@@ -175,6 +178,63 @@ def events_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sec").cast("bigint").alias("session_end_sec"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("session_id")
+
+
+@register(
+    "leakage_safe_splits",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, src AS m FROM edges
+      UNION
+      SELECT r.node, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+    ),
+    clusters AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node),
+    assign AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      FROM assign
+    )
+    """,
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-proof train/val/test assignment
+    (operators/curation.py:leakage_safe_splits): near-dup clusters
+    (Jaccard ≥ 0.8 → connected components) decide the split as a unit —
+    a training doc's near-twin can never land in eval. The oracle
+    replays clustering with a recursive transitive closure and the
+    split with the same portable md5 bucket; the no-leak property
+    itself is additionally pinned by pytest."""
+    from .operators.curation import leakage_safe_splits as op
+
+    return op(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -186,3 +186,28 @@ def test_quantize_int8_roundtrip_bound(spark):
         for x, c in zip(src[vid], r.codes):
             err = abs(x - (r.vmin + c * r.vscale))
             assert err <= r.vscale / 2 + 1e-9, (vid, x, c, err)
+
+
+def test_leakage_safe_splits_never_separate_near_dups(spark, sf_dir):
+    """THE property: every near-dup pair lands in the same split, all
+    docs are assigned exactly once, and proportions are roughly
+    80/10/10 (cluster-level hashing keeps them close)."""
+    from easy_etl_spark.operators.curation import leakage_safe_splits
+    from easy_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from easy_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = leakage_safe_splits(docs)
+    rows = {r.doc_id: (r.cluster_id, r.split) for r in out.collect()}
+    assert len(rows) == docs.count()  # total, exactly once
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert pairs, "corpus should contain planted near-dups"
+    for p in pairs:
+        assert rows[p.id_a][1] == rows[p.id_b][1], (p.id_a, p.id_b)
+        assert rows[p.id_a][0] == rows[p.id_b][0]
+    n = len(rows)
+    from collections import Counter
+
+    c = Counter(s for (_, s) in rows.values())
+    assert 0.6 * n < c["train"] < 0.95 * n
+    assert c["val"] > 0 and c["test"] > 0

@@ -133,6 +133,22 @@ def test_vocab_encode_join_is_broadcast(spark, sf_dir):
     assert f.sort_merge_joins == 0, "encode join degraded to sort-merge"
 
 
+def test_session_flush_windows_partitioned_by_user(spark, sf_dir):
+    # the gaps-and-islands twin must never plan a global window
+    f = _facts(spark, sf_dir, "events_session_flush")
+    assert "No Partition Defined" not in f.text
+    assert f.scans_only_columns("user_id", "event_id", "ts"), f.read_schemas
+
+
+def test_multimodal_codec_queries_shuffle_free(spark, sf_dir):
+    # synth -> decode -> stats is a pure mapInPandas chain: blobs must
+    # never shuffle, and the scan must read only doc_id
+    for name in ("multimodal_decode_png", "multimodal_decode_jpeg"):
+        f = _facts(spark, sf_dir, name)
+        assert f.exchanges == 0, f"{name}: media blobs crossed an exchange"
+        assert f.scans_only_columns("doc_id"), (name, f.read_schemas)
+
+
 def test_vocab_rank_distributed_no_driver_or_single_partition(spark, sf_dir):
     # the vocabulary ranking must stay fully distributed: no driver
     # round-trip (a collect would appear as LocalTableScan/CollectLimit

@@ -115,6 +115,48 @@ def test_delete_where_commits_and_history_survives_until_vacuum(spark, tmp_path)
     assert sink.versions() == [2]
 
 
+def test_foreach_batch_streaming_ingest_commits_atomically(spark, tmp_path):
+    """Streaming ingestion through the transactional sink: each
+    micro-batch upserts as one atomic commit, and a replayed batch
+    (crash-before-checkpoint redelivery) converges to the identical
+    table state — the exactly-once-on-replay posture, now with a
+    commit log recording every applied batch."""
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "in"
+    d.mkdir()
+    spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)], "k long, v long") \
+        .coalesce(1).write.parquet(str(d / "a.parquet"))
+    spark.createDataFrame([Row(k=2, v=99), Row(k=3, v=30)], "k long, v long") \
+        .coalesce(1).write.parquet(str(d / "b.parquet"))
+    sink = TransactionalParquetSink(spark, str(tmp_path / "t"))
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("k long, v long")
+        .parquet(str(d) + "/*.parquet")
+    )
+
+    def handle(bdf, bid):
+        if not bdf.isEmpty():
+            sink.upsert(bdf, keys=["k"])
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = _rows(sink.read(), "k", "v")
+    assert state == [(1, 10), (2, 99), (3, 30)]
+    # redelivery of the last batch (simulated replay): same final state
+    replay = spark.read.parquet(str(d / "b.parquet"))
+    sink.upsert(replay, keys=["k"])
+    assert _rows(sink.read(), "k", "v") == state
+    # the commit log recorded every applied batch, atomically ordered
+    assert sink.versions() == [1, 2, 3]
+
+
 def test_commit_conflict_gives_up_after_max_retries(spark, tmp_path):
     path = str(tmp_path / "t")
     a = TransactionalParquetSink(spark, path, max_retries=2)
