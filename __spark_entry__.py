@@ -88,6 +88,7 @@ _PRIORITY = [
     "events_resample_fill",
     "fuzzy_name_pairs",
     "snapshot_diff_orders",
+    "cdc_apply_changes",
     "corr_stats",
     # behavioral analytics, incremental view maintenance
     "events_funnel",

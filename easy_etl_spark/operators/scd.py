@@ -149,3 +149,46 @@ def scd2_asof(history: DataFrame, ts: str) -> DataFrame:
     return history.filter(
         (F.col("valid_from") <= t) & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).drop(*META_COLS)
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog (I/U/D rows) to a base table and return
+    the resulting state — the lakehouse APPLY CHANGES INTO / Delta
+    CDF-consumer primitive. Semantics match Debezium-style feeds:
+
+      - per key, only the LATEST change by ``seq_col`` counts
+        (ties broken by op ASC, so a same-sequence 'D' beats a
+        replayed 'I'/'U' — deterministic, documented);
+      - latest op D  → key removed (even if absent from base: no-op);
+      - latest op I/U → key takes the change row's payload columns
+        (full-row image, the Debezium "after" state);
+      - keys without changes keep their base row.
+
+    Scale shape: one window over the changelog partitioned by key
+    (changelogs are delta-sized — the window never touches the base),
+    then one keyed anti-join + union against the base. The base table
+    is never shuffled beyond the merge join key; AQE broadcasts the
+    deduplicated changelog when it is small. This is exactly the plan
+    a Delta MERGE compiles from MATCHED/NOT MATCHED clauses, minus the
+    transaction log (pair with sources/txn.TransactionalParquetSink
+    for the atomic-commit version)."""
+    from pyspark.sql import Window
+
+    payload = [c for c in changes.columns if c not in (seq_col, op_col)]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).asc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = base.join(latest.select(*keys), on=keys, how="left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*payload)
+    return survivors.unionByName(upserts)

@@ -9,6 +9,9 @@ New operator families:
                            (pure-numpy Huffman + IDCT) with pixel-level
                            oracle coverage — closes the multimodal
                            codec contract entirely.
+  - cdc_apply_changes      CDC changelog application (APPLY CHANGES
+                           INTO): latest-change-wins merge of a
+                           Debezium-style I/U/D feed into a base table.
   - leakage_safe_splits    contamination-proof train/val/test splits:
                            near-dup clusters assigned as a unit, so no
                            eval doc has a training near-twin.
@@ -235,6 +238,73 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import leakage_safe_splits as op
 
     return op(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cdc_apply_changes",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice + 100.0, 2) AS totalprice,
+             'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2), 'D', 2
+      FROM orders WHERE o_orderkey % 20 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2), 'D', 1
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, round(o_totalprice + 7.0, 2), 'I', 1
+      FROM orders WHERE o_orderkey % 10 = 7
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC, op ASC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.totalprice
+    FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, totalprice FROM latest WHERE op != 'D'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (operators/scd.py:apply_changes — the
+    lakehouse APPLY CHANGES INTO primitive): a synthesized Debezium-
+    style I/U/D feed with out-of-order multi-change keys merges into
+    the orders base. Exercises every path: same-key D(seq 2) beating
+    U(seq 1), plain updates, deletes, brand-new inserted keys, and
+    untouched survivors. One delta-sized window + one keyed anti-join;
+    the oracle replays the identical latest-change-wins merge."""
+    from .operators.scd import apply_changes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+    def change(pred, price, op, seq):
+        src = load_table(spark, sf_dir, "orders").filter(pred)
+        return src.select(
+            F.col("o_orderkey") + (1_000_000_000 if op == "I" else 0),
+            "o_custkey",
+            F.round(price, 2).alias("totalprice"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        ).toDF("o_orderkey", "o_custkey", "totalprice", "op", "seq")
+
+    p = F.col("o_totalprice")
+    changes = (
+        change(F.col("o_orderkey") % 10 == 0, p + 100.0, "U", 1)
+        .unionByName(change(F.col("o_orderkey") % 20 == 0, p, "D", 2))
+        .unionByName(change(F.col("o_orderkey") % 10 == 3, p, "D", 1))
+        .unionByName(change(F.col("o_orderkey") % 10 == 7, p + 7.0, "I", 1))
+    )
+    return apply_changes(o, changes, keys=["o_orderkey"], seq_col="seq", op_col="op")
 
 
 @register(

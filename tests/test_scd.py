@@ -157,3 +157,38 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
         (r.k, r.attr, r.is_current, str(r.valid_from)[:10]) for r in expect_hist.collect()
     )
     assert got == want and len(got) == 4
+
+
+def test_apply_changes_semantics_handbuilt(spark):
+    """Every CDC path on a hand-built feed: latest-seq wins, same-seq
+    D beats U (op DESC tiebreak), delete of an absent key is a no-op,
+    insert of a new key lands, untouched base rows survive."""
+    from pyspark.sql import Row
+
+    from easy_etl_spark.operators.scd import apply_changes
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c"), Row(k=4, v="d")]
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: U then later D -> deleted
+            Row(k=1, v="a2", op="U", seq=1),
+            Row(k=1, v="a2", op="D", seq=2),
+            # k=2: out-of-order arrival, latest seq wins -> v="b3"
+            Row(k=2, v="b3", op="U", seq=5),
+            Row(k=2, v="b2", op="U", seq=4),
+            # k=3: same-seq tie, D beats U
+            Row(k=3, v="c2", op="U", seq=1),
+            Row(k=3, v="c3", op="D", seq=1),
+            # k=9: delete of a key not in base -> no-op
+            Row(k=9, v="x", op="D", seq=1),
+            # k=5: brand-new insert
+            Row(k=5, v="e", op="I", seq=1),
+        ]
+    )
+    got = sorted(
+        (r.k, r.v)
+        for r in apply_changes(base, changes, keys=["k"], seq_col="seq").collect()
+    )
+    assert got == [(2, "b3"), (4, "d"), (5, "e")]
