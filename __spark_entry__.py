@@ -83,6 +83,7 @@ _PRIORITY = [
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
+    "audio_wav_windows",
     "multimodal_features",
     # time-series regularization, entity resolution, CDC, exact stats
     "events_resample_fill",

@@ -622,6 +622,161 @@ def image_stats(media_df: DataFrame) -> DataFrame:
     )
 
 
+# -- WAV: real RIFF/PCM audio codec (stdlib struct + numpy) ------------
+
+def encode_wav(samples, sample_rate: int = 16000, bits: int = 16) -> bytes:
+    """(n,) or (n, channels) integer samples → a real RIFF/WAVE file
+    (PCM format 1, 8-bit unsigned or 16-bit signed little-endian) —
+    the fixture generator for decode_wav."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if bits == 16:
+        payload = a.astype("<i2").tobytes()
+    elif bits == 8:
+        payload = a.astype(np.uint8).tobytes()
+    else:
+        raise ValueError("PCM bits must be 8 or 16")
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes):
+    """REAL RIFF/WAVE parse: chunk walk (unknown chunks skipped, word-
+    aligned), fmt validation, PCM payload decode. Supports format 1
+    (integer PCM) at 8-bit unsigned / 16-bit signed little-endian, any
+    channel count. Returns (samples, sample_rate) with samples int32
+    of shape (n_frames, channels) — 8-bit input is recentred to signed
+    (−128..127) so downstream energy math is format-independent.
+    Compressed codecs (MP3/FLAC/IEEE-float WAV) refuse loudly."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(data)
+    fmt = None
+    payload = None
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        (ln,) = struct.unpack_from("<I", data, i + 4)
+        body = data[i + 8 : i + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            payload = body
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, ch, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAVE format {audio_format} not supported (integer PCM only)"
+        )
+    if bits == 16:
+        a = np.frombuffer(payload, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        a = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    frames = len(a) // ch
+    return a[: frames * ch].reshape(frames, ch), rate
+
+
+def synth_wav_audio(docs: DataFrame, max_docs: int = 100) -> DataFrame:
+    """Deterministic WAV fixture column: doc_id → a real 16-bit mono
+    RIFF/WAVE blob whose sample i is ((doc_id*31 + i*17) % 65536) −
+    32768, with n = 256 + 64·(doc_id % 5) frames. Same replayable-
+    formula pattern as the image fixtures: an oracle can verify
+    windowed energies computed from the DECODED samples as pure
+    integer SQL — any header/stride/sign mistake in decode_wav moves
+    an energy sum."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                nsamp = 256 + 64 * (doc_id % 5)
+                i = np.arange(nsamp, dtype="int64")
+                s = ((doc_id * 31 + i * 17) % 65536) - 32768
+                out["doc_id"].append(doc_id)
+                out["media"].append(encode_wav(s, bits=16))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < max_docs)
+        .mapInPandas(run, "doc_id bigint, media binary")
+    )
+
+
+WAV_WINDOW_SCHEMA = (
+    "doc_id bigint, win bigint, n_samples bigint, energy bigint, peak bigint"
+)
+
+
+def wav_window_energy(media_df: DataFrame, window: int = 64) -> DataFrame:
+    """REAL audio decode + windowed loudness: parse each blob with
+    decode_wav, mix channels by integer sum, split into fixed-length
+    windows, and emit per-window sample count, energy (Σ sample²) and
+    peak (max sample²) — the RMS/peak profile an audio-curation
+    pipeline computes per frame, now over a real container format
+    instead of raw bytes. Per-partition mapInPandas, zero shuffle;
+    integer outputs end-to-end."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, wins, ns, es, ps = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                samples, _rate = decode_wav(bytes(blob))
+                mono = samples.sum(axis=1, dtype=np.int64)
+                for w in range((len(mono) + window - 1) // window):
+                    chunk = mono[w * window : (w + 1) * window]
+                    sq = chunk * chunk
+                    ids.append(doc_id)
+                    wins.append(w)
+                    ns.append(len(chunk))
+                    es.append(int(sq.sum()))
+                    ps.append(int(sq.max()) if len(sq) else 0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "win": wins, "n_samples": ns, "energy": es, "peak": ps}
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(run, WAV_WINDOW_SCHEMA)
+
+
 PCM_WINDOW_SCHEMA = "doc_id bigint, win bigint, n_samples bigint, energy bigint, peak bigint"
 
 

@@ -9,6 +9,10 @@ New operator families:
                            (pure-numpy Huffman + IDCT) with pixel-level
                            oracle coverage — closes the multimodal
                            codec contract entirely.
+  - audio_wav_windows      REAL RIFF/WAVE audio decode (stdlib struct +
+                           numpy PCM parse) with integer-exact windowed
+                           energy oracle — the native-codec story now
+                           covers an audio container too.
   - cdc_apply_changes      CDC changelog application (APPLY CHANGES
                            INTO): latest-change-wins merge of a
                            Debezium-style I/U/D feed into a base table.
@@ -238,6 +242,40 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import leakage_safe_splits as op
 
     return op(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "audio_wav_windows",
+    """
+    WITH d AS (
+      SELECT doc_id, 256 + 64 * (doc_id % 5) AS n
+      FROM documents WHERE doc_id < 100
+    ),
+    idx AS (SELECT doc_id, unnest(range(n)) AS i FROM d),
+    s AS (
+      SELECT doc_id, i // 64 AS win,
+             ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+      FROM idx
+    )
+    SELECT doc_id, CAST(win AS BIGINT) AS win, count(*) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(max(v * v) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, win
+    """,
+)
+def audio_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode end-to-end: encode deterministic
+    16-bit mono RIFF/WAVE blobs per doc (multimodal.synth_wav_audio),
+    parse them back with the stdlib-struct + numpy codec
+    (multimodal.decode_wav — chunk walk, fmt validation, PCM decode),
+    and emit integer-exact windowed energy/peak loudness. The oracle
+    replays the sample formula as pure integer SQL — any header,
+    alignment, stride or sign error in the decoder moves an energy
+    sum. Extends the native-codec story (PPM/BMP/PNG/JPEG) to audio;
+    compressed audio (MP3/FLAC) still refuses by contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_wav_audio(docs, max_docs=100)
+    return multimodal.wav_window_energy(media, window=64)
 
 
 @register(

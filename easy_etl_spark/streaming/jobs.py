@@ -181,6 +181,44 @@ def foreach_batch_scd2(
     )
 
 
+def foreach_batch_apply_changes(
+    stream_df: DataFrame,
+    sink,
+    keys: list[str],
+    seq_col: str,
+    checkpoint: str,
+    op_col: str = "op",
+) -> DataStreamWriter:
+    """Streaming CDC consumer: each micro-batch of I/U/D change rows
+    merges into the target via operators/scd.apply_changes (the APPLY
+    CHANGES INTO shape — latest-change-wins per key). Sequential
+    application of seq-ordered batches is equivalent to applying the
+    whole log at once because the merge is latest-wins and later
+    batches carry higher sequence numbers (pinned by
+    test_streaming_apply_changes_matches_batch); replay of an
+    already-applied batch is idempotent for the same reason. Composes
+    the batch merge plan inside foreachBatch, same pattern as
+    foreach_batch_upsert/scd2."""
+    from ..operators.scd import apply_changes
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        current = sink.read()
+        if current is None:
+            current = batch_df.drop(op_col, seq_col).limit(0)
+        state = apply_changes(current, batch_df, keys=keys, seq_col=seq_col, op_col=op_col)
+        # _swap_write stages to a side dir, so the merge plan can read
+        # the sink path it replaces
+        sink._swap_write(state)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -378,3 +378,47 @@ def test_dynamic_gap_session_window_stream_matches_batch_twin(spark, sf_dir, tmp
         for r in QUERIES["events_session_dynamic_gap"](spark, sf_dir).collect()
     )
     assert stream_counts == batch_counts and stream_counts
+
+
+def test_streaming_apply_changes_matches_batch(spark, tmp_path):
+    """Streaming CDC consumption == one-shot batch application: a
+    seq-ordered changelog split across micro-batches lands the same
+    final table state as apply_changes over the whole log."""
+    from pyspark.sql import Row
+
+    from easy_etl_spark.operators.scd import apply_changes
+    from easy_etl_spark.streaming.jobs import foreach_batch_apply_changes
+
+    schema = "k long, v string, op string, seq long"
+    log1 = [Row(k=1, v="a1", op="U", seq=1), Row(k=2, v="b", op="I", seq=1),
+            Row(k=3, v="c", op="I", seq=1)]
+    log2 = [Row(k=1, v="a2", op="U", seq=2), Row(k=3, v="c", op="D", seq=2),
+            Row(k=4, v="d", op="I", seq=2)]
+    d = tmp_path / "cdc"
+    d.mkdir()
+    spark.createDataFrame(log1, schema).coalesce(1).write.parquet(str(d / "a.parquet"))
+    spark.createDataFrame(log2, schema).coalesce(1).write.parquet(str(d / "b.parquet"))
+
+    sink = ParquetSink(spark, str(tmp_path / "t"), id_col="k")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(schema)
+        .parquet(str(d) + "/*.parquet")
+    )
+    q = foreach_batch_apply_changes(
+        stream, sink, keys=["k"], seq_col="seq", checkpoint=str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+    got = sorted((r.k, r.v) for r in sink.read().collect())
+
+    base = spark.createDataFrame([], "k long, v string")
+    full = spark.createDataFrame(log1 + log2, schema)
+    want = sorted(
+        (r.k, r.v) for r in apply_changes(base, full, keys=["k"], seq_col="seq").collect()
+    )
+    assert got == want == [(1, "a2"), (2, "b"), (4, "d")]
+    # replaying the last batch (crash-before-checkpoint) is idempotent
+    sink._swap_write(
+        apply_changes(sink.read(), spark.createDataFrame(log2, schema), keys=["k"], seq_col="seq")
+    )
+    assert sorted((r.k, r.v) for r in sink.read().collect()) == want

@@ -407,3 +407,54 @@ def test_bpe_fixpoint_equals_greedy_on_odd_runs(spark):
     # "a a a": greedy merges the FIRST (a,a) only → " aa a ", so merge 2
     # must see (aa, a), not (a, aa) — the left-to-right fixpoint property
     assert got == [(1, "a a", "aa", 2), (2, "aa a", "aaa", 1)]
+
+
+def test_wav_roundtrip_formats_and_alignment():
+    """RIFF/WAVE codec: 16-bit mono and 8-bit stereo round-trips
+    (8-bit recentred to signed), unknown chunks skipped with word
+    alignment, and loud refusals for non-PCM/truncated input."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from easy_etl_spark.operators import multimodal as M
+
+    s = (np.arange(300) * 17 % 65536 - 32768).astype(np.int64)
+    a, rate = M.decode_wav(M.encode_wav(s, 22050, 16))
+    assert rate == 22050 and a.shape == (300, 1) and np.array_equal(a[:, 0], s)
+
+    st = np.stack([np.arange(100) % 256, (np.arange(100) * 3) % 256], axis=1)
+    b, _ = M.decode_wav(M.encode_wav(st, 8000, 8))
+    assert b.shape == (100, 2) and np.array_equal(b, st - 128)
+
+    # odd-length JUNK chunk before data: parser must word-align past it
+    raw = M.encode_wav(s[:10], 8000, 16)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = raw[:12] + junk + raw[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    c, _ = M.decode_wav(patched)
+    assert np.array_equal(c[:, 0], s[:10])
+
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"not audio at all")
+    # IEEE-float WAV (format 3): real format, unsupported codec path
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="integer PCM"):
+        M.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_window_energy_spark_path(spark):
+    """wav_window_energy must decode through the real WAV parser: a
+    known constant signal gives exact integer energies."""
+    import numpy as np
+
+    from easy_etl_spark.operators import multimodal as M
+
+    s = np.full(128, 100, dtype=np.int64)  # two windows of 64, s^2=10000
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_wav(s, 16000, 16)))], "doc_id long, media binary"
+    )
+    rows = sorted(map(tuple, M.wav_window_energy(df, window=64).collect()))
+    assert rows == [(1, 0, 64, 640000, 10000), (1, 1, 64, 640000, 10000)]
