@@ -95,6 +95,7 @@ _PRIORITY = [
     "events_funnel",
     "cohort_retention",
     "incremental_agg_maintenance",
+    "incremental_join_maintenance",
     "embedding_quantize_error",
     "hybrid_search_rrf",
     "data_quality_checks",

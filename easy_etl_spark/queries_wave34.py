@@ -9,6 +9,9 @@ New operator families:
                            (pure-numpy Huffman + IDCT) with pixel-level
                            oracle coverage — closes the multimodal
                            codec contract entirely.
+  - incremental_join_maintenance  IVM for JOIN views under two-sided
+                           deltas (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — joins only
+                           the deltas, never the old⋈old bulk.
   - audio_wav_windows      REAL RIFF/WAVE audio decode (stdlib struct +
                            numpy PCM parse) with integer-exact windowed
                            energy oracle — the native-codec story now
@@ -242,6 +245,45 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import leakage_safe_splits as op
 
     return op(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "incremental_join_maintenance",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           round(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view under
+    deltas on BOTH sides — the classic IVM identity
+    Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB:
+    the stored view (old orders ⋈ old customers) is brought up to date
+    by joining only the deltas, never re-joining the old ⋈ old bulk —
+    at 100 TB that is the difference between a delta-sized nightly job
+    and a full recompute. Splits are deterministic (orderkey/custkey
+    mod), every join is the same custkey equi-join (dims broadcast
+    under AQE), and the oracle is the full-recompute join the
+    maintained view must equal exactly."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a_old = o.filter(F.col("o_orderkey") % 4 != 0)
+    da = o.filter(F.col("o_orderkey") % 4 == 0)
+    b_old = c.filter(F.col("c_custkey") % 5 != 0)
+    db = c.filter(F.col("c_custkey") % 5 == 0)
+    on = F.col("c_custkey") == F.col("o_custkey")
+
+    def j(left, right):
+        return left.join(right, on).select(
+            "o_orderkey", "o_custkey", "c_name", "totalprice"
+        )
+
+    view_old = j(a_old, b_old)  # the stored view
+    delta = j(da, b_old).unionByName(j(a_old, db)).unionByName(j(da, db))
+    return view_old.unionByName(delta)
 
 
 @register(
