@@ -63,6 +63,12 @@ _PRIORITY = [
     "dedup_clusters",
     "curate_corpus",
     "leakage_safe_splits",
+    # multimodal (real-decode reps first — round-4 codecs inside the
+    # driver's checked prefix window; byte-plumbing variant in tail)
+    "multimodal_decode",
+    "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "audio_wav_windows",
     # similarity / search (oracle-checked int twins first; the
     # double/xxhash64 production variants are rows-only and follow in
     # the tail)
@@ -79,11 +85,6 @@ _PRIORITY = [
     "vocab_encode",
     "quality_rules",
     "source_token_budget",
-    # multimodal (real-decode reps first; byte-plumbing variant follows)
-    "multimodal_decode",
-    "multimodal_decode_png",
-    "multimodal_decode_jpeg",
-    "audio_wav_windows",
     "multimodal_features",
     # time-series regularization, entity resolution, CDC, exact stats
     "events_resample_fill",
