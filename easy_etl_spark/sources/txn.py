@@ -212,6 +212,51 @@ class TransactionalParquetSink:
 
         return self._commit_loop(compute, "delete")
 
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """OPTIMIZE: rewrite the current snapshot with right-sized
+        files as a NEW commit — values and schema untouched, history
+        intact, readers never blocked (they keep resolving the old
+        commit until the new one lands atomically). Rebase-safe: a
+        concurrent writer winning the version simply makes the
+        compaction re-read and re-size their newer table. Returns the
+        committed version."""
+        def compute(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                raise ValueError("compact on an empty table")
+            n = current.count()
+            n_files = max(1, -(-n // target_rows_per_file))  # ceil
+            if n_files > current.rdd.getNumPartitions():
+                return current.repartition(n_files)
+            return current.coalesce(n_files)
+
+        return self._commit_loop(compute, "optimize")
+
+    def clone_from(self, source: "TransactionalParquetSink",
+                   version: int | None = None) -> int:
+        """SHALLOW CLONE: commit a record pointing at the SOURCE
+        table's committed snapshot directory — zero data copied, the
+        clone is readable immediately and subsequent writes to either
+        table diverge (new commits stage into each table's own _data).
+        Same caveat as Delta shallow clones: vacuuming the SOURCE can
+        retire data a clone still references — this table's own
+        vacuum() never touches directories outside its root (gated by
+        test_shallow_clone_zero_copy_and_vacuum_safety). Returns the
+        committed version."""
+        v = source.current_version() if version is None else version
+        if v == 0:
+            raise ValueError("cannot clone an empty table")
+        if v not in source.versions():
+            raise ValueError(f"source version {v} not committed")
+        src_dir = os.path.join(source.path, source._commit_record(v)["dir"])
+        base = self.current_version()
+        for _ in range(self.max_retries):
+            if self._try_commit(base + 1, src_dir, f"clone:{source.path}@{v}"):
+                return base + 1
+            base = self.current_version()
+        raise CommitConflict(
+            f"gave up after {self.max_retries} optimistic retries on {self.path}"
+        )
+
     # -- maintenance -------------------------------------------------
     def vacuum(self, keep_last: int | None = None) -> int:
         """Reclaim invisible storage: orphaned data dirs no commit
@@ -221,11 +266,16 @@ class TransactionalParquetSink:
         history. Never touches the current version. Returns the number
         of directories/files removed."""
         removed = 0
+        data_root_abs = os.path.realpath(os.path.join(self.path, "_data"))
         vs = self.versions()
         if keep_last is not None and len(vs) > keep_last:
             for v in vs[:-keep_last]:
                 rec = self._commit_record(v)
-                shutil.rmtree(os.path.join(self.path, rec["dir"]), ignore_errors=True)
+                target = os.path.realpath(os.path.join(self.path, rec["dir"]))
+                # never touch snapshots outside this table's own _data
+                # (shallow clones point at the SOURCE table's storage)
+                if target.startswith(data_root_abs + os.sep):
+                    shutil.rmtree(target, ignore_errors=True)
                 os.unlink(os.path.join(self._commit_dir(), f"{v}.json"))
                 removed += 1
             vs = self.versions()

@@ -168,3 +168,62 @@ def test_commit_conflict_gives_up_after_max_retries(spark, tmp_path):
     a._pre_commit_hook = always_interlope
     with pytest.raises(CommitConflict, match="2 optimistic retries"):
         a.append(spark.createDataFrame([Row(k=1)]))
+
+
+def test_optimize_compacts_as_new_commit(spark, tmp_path):
+    """OPTIMIZE rewrites the snapshot with right-sized files as a new
+    atomic commit: values identical, history intact, file count down."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    sink = TransactionalParquetSink(spark, str(tmp_path / "t"))
+    # explicit id column -> append writes the frame's own 16 partitions
+    df = (
+        spark.range(0, 1000)
+        .select(F.col("id"), F.col("id").alias("k"))
+        .repartition(16)
+    )
+    sink.append(df)
+    before = _rows(sink.read(), "k")
+    files_before = len(glob.glob(str(tmp_path / "t") + "/_data/*/*.parquet"))
+    v = sink.compact(target_rows_per_file=1000)
+    assert v == 2
+    assert _rows(sink.read(), "k") == before
+    cur_dir = sink._commit_record(2)["dir"]
+    files_after = len(glob.glob(str(tmp_path / "t" / cur_dir) + "/*.parquet"))
+    assert files_after < files_before and files_after <= 2
+    # pre-compaction state still time-travels
+    assert _rows(sink.read(version=1), "k") == before
+
+
+def test_shallow_clone_zero_copy_and_vacuum_safety(spark, tmp_path):
+    """Shallow clone: the clone's commit points at the SOURCE snapshot
+    dir (no data copied), diverges on write, and the clone's vacuum
+    never deletes source storage."""
+    import glob
+    import os
+
+    src = TransactionalParquetSink(spark, str(tmp_path / "src"))
+    src.append(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
+    clone = TransactionalParquetSink(spark, str(tmp_path / "clone"))
+    v = clone.clone_from(src)
+    assert v == 1
+    assert _rows(clone.read(), "k", "v") == [(1, "a"), (2, "b")]
+    # zero copy: the clone owns no data files of its own yet
+    assert glob.glob(str(tmp_path / "clone") + "/_data/*/*.parquet") == []
+    # divergence: writes to the clone stage into its own storage
+    clone.append(spark.createDataFrame([Row(k=3, v="c")]))
+    assert _rows(clone.read(), "k", "v") == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(src.read(), "k", "v") == [(1, "a"), (2, "b")]
+    # vacuum on the clone retires its commit records but NEVER touches
+    # the source's snapshot directory
+    src_dir = os.path.join(src.path, src._commit_record(1)["dir"])
+    clone.vacuum(keep_last=1)
+    assert clone.versions() == [2]
+    assert os.path.isdir(src_dir)
+    assert _rows(src.read(), "k", "v") == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="cannot clone an empty table"):
+        TransactionalParquetSink(spark, str(tmp_path / "e")).clone_from(
+            TransactionalParquetSink(spark, str(tmp_path / "e2"))
+        )
