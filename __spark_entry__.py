@@ -63,6 +63,7 @@ _PRIORITY = [
     "dedup_clusters",
     "curate_corpus",
     "leakage_safe_splits",
+    "curriculum_order",
     # multimodal (real-decode reps first — round-4 codecs inside the
     # driver's checked prefix window; byte-plumbing variant in tail)
     "multimodal_decode",

@@ -9,6 +9,9 @@ New operator families:
                            (pure-numpy Huffman + IDCT) with pixel-level
                            oracle coverage — closes the multimodal
                            codec contract entirely.
+  - curriculum_order       curriculum-learning schedule: integer-exact
+                           difficulty stages (length vs corpus mean),
+                           md5-shuffled within stage.
   - incremental_join_maintenance  IVM for JOIN views under two-sided
                            deltas (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — joins only
                            the deltas, never the old⋈old bulk.
@@ -245,6 +248,67 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import leakage_safe_splits as op
 
     return op(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curriculum_order",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS a, count(*) AS c FROM d),
+    s AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok * 2 * c <= a THEN 1
+                  WHEN n_tok * c <= a THEN 2
+                  WHEN n_tok * c <= 2 * a THEN 3
+                  ELSE 4 END AS stage
+      FROM d, t
+    )
+    SELECT doc_id, n_tok, CAST(stage AS INT) AS stage,
+           CAST(row_number() OVER (
+             PARTITION BY stage
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS stage_rank
+    FROM s
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: documents staged easy→hard by length
+    relative to the corpus mean (stage 1 ≤ half the mean … stage 4 >
+    twice the mean), deterministically shuffled WITHIN each stage by
+    the portable md5 hash — the schedule a curriculum-learning data
+    loader consumes. All bucketing is INTEGER comparison against the
+    corpus total (n·c vs Σn), so no float boundary can flip a stage
+    between engines; ranks come from stage-partitioned windows (never
+    a global sort — the catalog's standing rule). One scan + a
+    broadcast 1-row aggregate + one partitioned window."""
+    from pyspark.sql import Window
+
+    from .operators.textops import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    tot = d.agg(F.sum("n_tok").alias("a"), F.count(F.lit(1)).alias("c"))
+    j = d.crossJoin(F.broadcast(tot))
+    n, a, c = F.col("n_tok"), F.col("a"), F.col("c")
+    stage = (
+        F.when(n * 2 * c <= a, 1)
+        .when(n * c <= a, 2)
+        .when(n * c <= 2 * a, 3)
+        .otherwise(4)
+    )
+    w = Window.partitionBy("stage").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        j.withColumn("stage", stage)
+        .withColumn("stage_rank", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "n_tok", "stage", "stage_rank")
+    )
 
 
 @register(
