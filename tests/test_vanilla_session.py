@@ -159,3 +159,25 @@ def test_wave13_to_30_queries_self_sufficient(confless, sf_dir):
         "priority_sample",
     ):
         assert QUERIES[name](confless, sf_dir).count() > 0, name
+
+
+def test_wave31_to_34_queries_self_sufficient(confless, sf_dir):
+    """Waves 31-34 (round-3 close + round-4) under a conf-stripped
+    session — codecs, sinks, CDC, IVM, curriculum, splits."""
+    from easy_etl_spark.queries import QUERIES
+
+    for name in (
+        "peak_concurrency",
+        "ann_recall_at_10",
+        "file_health_report",
+        "multimodal_decode_png",
+        "multimodal_decode_jpeg",
+        "audio_wav_windows",
+        "events_session_flush",
+        "leakage_safe_splits",
+        "curriculum_order",
+        "cdc_apply_changes",
+        "incremental_join_maintenance",
+        "txn_sink_merge",
+    ):
+        assert QUERIES[name](confless, sf_dir).count() > 0, name
