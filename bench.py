@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from easy_etl_spark.session import get_spark
+from easy_etl_spark.session import get_spark, release_caches
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -84,6 +84,7 @@ def main() -> None:
             QUERIES[name](spark, warm_sf).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
+    release_caches()
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
     def timed(names: list[str]) -> dict[str, float]:
@@ -93,6 +94,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             out[name] = round(time.perf_counter() - t0, 3)
+            # operator-internal caches (vocab counts, adjacency lists,
+            # curation frames) are tracked; release them so one query's
+            # executor storage never leaks into the next measurement
+            release_caches()
         return out
 
     times = timed(HEADLINE)

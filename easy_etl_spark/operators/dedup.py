@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import track_cache
 from .textops import fingerprint_md5, tokens
 
 
@@ -252,8 +253,8 @@ def minhash_lsh_pairs(
     the whole index (shingle work is the dominant cost; candidates are
     a vanishing fraction of the corpus at any scale)."""
     rows_per_band = num_perm // bands
-    idx = _shingle_index(docs, text_col, id_col, k).persist()
-    sigs = _signatures_from_index(idx, num_perm, id_col, with_sizes=True).persist()
+    idx = track_cache(_shingle_index(docs, text_col, id_col, k))
+    sigs = track_cache(_signatures_from_index(idx, num_perm, id_col, with_sizes=True))
     # band hash = xxhash64 of the band's signature slice (arrays hash
     # as a whole); one explode to (id, band, bh) bucket rows
     band_cols = F.transform(

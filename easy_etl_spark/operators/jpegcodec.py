@@ -409,30 +409,37 @@ def _decode_scan(data, pos, frame, scan, qtables, restart_interval):
     reader = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # expect RSTn: align, consume marker, reset predictors
-                reader.align()
-                p = reader.pos
-                if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
-                    reader.pos = p + 2
-                    preds = [0] * len(comps)
-                else:
-                    raise ValueError("missing restart marker")
-            for ci, (comp, dct, act) in enumerate(scan):
-                qt = qtables[comp["tq"]]
-                for v in range(comp["v"]):
-                    for h_ in range(comp["h"]):
-                        block, preds[ci] = _decode_block(reader, dct, act, preds[ci])
-                        coef = np.zeros((8, 8), dtype=np.float64)
-                        for i, (r, c) in enumerate(ZIGZAG):
-                            coef[r, c] = block[i] * qt[r, c]
-                        out = _idct(coef) + 128.0
-                        py = (my * comp["v"] + v) * 8
-                        px = (mx * comp["h"] + h_) * 8
-                        planes[ci][py : py + 8, px : px + 8] = out
-            mcu_count += 1
+    # a well-formed scan never raises inside this loop: the reader only
+    # meets a marker (or end-of-data) mid-MCU when the entropy segment
+    # is truncated/corrupt — surface that as the documented ValueError
+    # rather than the internal _MarkerHit / a raw IndexError
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    # expect RSTn: align, consume marker, reset predictors
+                    reader.align()
+                    p = reader.pos
+                    if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                        reader.pos = p + 2
+                        preds = [0] * len(comps)
+                    else:
+                        raise ValueError("missing restart marker")
+                for ci, (comp, dct, act) in enumerate(scan):
+                    qt = qtables[comp["tq"]]
+                    for v in range(comp["v"]):
+                        for h_ in range(comp["h"]):
+                            block, preds[ci] = _decode_block(reader, dct, act, preds[ci])
+                            coef = np.zeros((8, 8), dtype=np.float64)
+                            for i, (r, c) in enumerate(ZIGZAG):
+                                coef[r, c] = block[i] * qt[r, c]
+                            out = _idct(coef) + 128.0
+                            py = (my * comp["v"] + v) * 8
+                            px = (mx * comp["h"] + h_) * 8
+                            planes[ci][py : py + 8, px : px + 8] = out
+                mcu_count += 1
+    except (_MarkerHit, IndexError) as exc:
+        raise ValueError("truncated JPEG entropy data") from exc
 
     # upsample to full MCU-grid resolution, crop to (fh, fw)
     full = []

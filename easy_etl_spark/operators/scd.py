@@ -191,4 +191,9 @@ def apply_changes(
     )
     survivors = base.join(latest.select(*keys), on=keys, how="left_anti")
     upserts = latest.filter(F.col(op_col) != "D").select(*payload)
-    return survivors.unionByName(upserts)
+    # the base table may carry columns beyond the changelog payload
+    # (e.g. the surrogate id column ParquetSink.append adds); upserted
+    # rows take NULL there — the sink's id backfill owns re-keying.
+    # allowMissingColumns also keeps this total when the changelog
+    # ADDS columns the base predates (schema evolution on the feed).
+    return survivors.unionByName(upserts, allowMissingColumns=True)

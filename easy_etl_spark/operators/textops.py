@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import track_cache
+
 #: tiny deterministic "stopword" profiles over the synthetic corpus
 #: vocabulary — the language-ID heuristic scores token overlap per
 #: profile and argmaxes (tie → profile priority order en > es > de).
@@ -238,7 +240,8 @@ def build_vocab(
     # share one materialization (and one partition assignment)
     part = counts.repartitionByRange(
         F.col("cnt").desc(), F.col("tok")
-    ).withColumn("__pid", F.spark_partition_id()).persist()
+    ).withColumn("__pid", F.spark_partition_id())
+    part = track_cache(part)
     pc = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     a, b = pc.alias("a"), pc.alias("b")
     offsets = (

@@ -22,7 +22,7 @@ from .operators.curation import cap_sources_by_budget, curate_corpus, decontamin
 from .operators.sampling import md5_uniform
 from .operators.textops import tokens
 from .queries import register
-from .session import load_table
+from .session import load_table, track_cache
 
 BUDGET_PER_SOURCE = 5000
 
@@ -139,16 +139,18 @@ def corpus_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # each stage feeds BOTH its census row and the next stage — persist
     # the small id frames so the curation/shingle chain runs once
-    curated = curate_corpus(docs, quality_threshold=0.5, jaccard_threshold=0.8).persist()
+    curated = track_cache(
+        curate_corpus(docs, quality_threshold=0.5, jaccard_threshold=0.8)
+    )
     traincands = curated.filter(F.col("doc_id") % 50 != 0).select("doc_id")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     flagged = decontaminate(
         docs.join(traincands, "doc_id"), bench, n=3
     ).select("doc_id")
-    decon = traincands.join(flagged, "doc_id", "left_anti").persist()
-    capped = cap_sources_by_budget(
+    decon = track_cache(traincands.join(flagged, "doc_id", "left_anti"))
+    capped = track_cache(cap_sources_by_budget(
         docs.join(decon, "doc_id"), budget_tokens=BUDGET_PER_SOURCE
-    ).persist()
+    ))
     train = capped.filter(md5_uniform(F.col("doc_id"), 100) < 80)
 
     capped_census = capped.agg(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import register
-from .session import load_table
+from .session import load_table, track_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -107,7 +107,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = raw.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
         raw.select(F.col("b").alias("v"), F.col("a").alias("n"))
     )
-    adj0 = both.groupBy("v").agg(F.collect_set("n").alias("ns")).persist()
+    adj0 = track_cache(both.groupBy("v").agg(F.collect_set("n").alias("ns")))
     deg = adj0.select("v", F.size("ns").alias("d"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

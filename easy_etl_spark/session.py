@@ -169,3 +169,40 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
         path = table_path(sf_dir, name)
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ----------------------------------------------------------------------
+# Operator-internal cache tracking
+# ----------------------------------------------------------------------
+# Dataset.persist() entries live in the session-wide CacheManager until
+# explicitly unpersisted — the JVM ContextCleaner never reclaims them —
+# so an operator that caches an intermediate (vocab counts, adjacency
+# lists, curated corpora) and returns a lazy result would leak executor
+# storage on every invocation of a long-lived session (bench loops,
+# notebooks, the driver's catalog sweep). Every internal persist routes
+# through track_cache(); callers that batch many queries reclaim the
+# storage between them with release_caches().
+
+_TRACKED_CACHE: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """persist() a DataFrame and register it for release_caches()."""
+    _TRACKED_CACHE.append(df.persist())
+    return df
+
+
+def release_caches() -> int:
+    """Blocking-unpersist every tracked cache entry; returns how many
+    were released. Safe to call at any time: un-materialized entries
+    simply drop their cache flag, and re-running an operator re-tracks
+    a fresh entry."""
+    n = 0
+    while _TRACKED_CACHE:
+        df = _TRACKED_CACHE.pop()
+        try:
+            df.unpersist(blocking=True)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n

@@ -332,12 +332,15 @@ class ParquetSink:
             if snap.filter(hit).isEmpty():
                 continue
             keep = snap.filter(~hit)
-            if keep.isEmpty():
-                shutil.rmtree(p)
-                continue
             staging = f"{p}.__vstage_{uuid.uuid4().hex[:8]}"
             writer = keep.write.mode("overwrite")
-            if self.partition_by:
+            # fully-purged snapshots are rewritten EMPTY, not deleted:
+            # versions() and read(version=v) keep working and return the
+            # emptied state — symmetric with partially-purged snapshots.
+            # The empty write goes out unpartitioned (partition columns
+            # stay as data columns in the schema): a partitioned write of
+            # zero rows would leave no readable schema on disk.
+            if self.partition_by and not keep.isEmpty():
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(staging)
             old = f"{p}.__vold_{uuid.uuid4().hex[:8]}"

@@ -68,11 +68,12 @@ class TransactionalParquetSink:
     """
 
     def __init__(self, spark: SparkSession, path: str, id_col: str = "id",
-                 max_retries: int = 20):
+                 max_retries: int = 20, checkpoint_interval: int = 10):
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.max_retries = max_retries
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
         os.makedirs(os.path.join(path, "_data"), exist_ok=True)
         #: test/failure-injection hook, called between stage and commit
@@ -82,15 +83,68 @@ class TransactionalParquetSink:
     def _commit_dir(self) -> str:
         return os.path.join(self.path, "_commits")
 
-    def versions(self) -> list[int]:
-        out = []
+    def _checkpoint_path(self) -> str:
+        return os.path.join(self._commit_dir(), "_last_checkpoint")
+
+    def _load_checkpoint(self) -> dict | None:
+        """The Delta-style log checkpoint: ``{"version": N, "records":
+        {v: commit_record}}`` for every RETAINED commit <= N. May be
+        STALE (older than the newest commits — tail probing covers
+        that) but is rewritten by vacuum before commits are retired so
+        it never resurrects a vacuumed version."""
+        try:
+            with open(self._checkpoint_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _write_checkpoint(self, versions: list[int] | None = None) -> None:
+        """Atomically (write-temp + rename) publish a checkpoint
+        covering ``versions`` (default: every retained commit). Racing
+        writers may overwrite each other's checkpoint; the loser's is
+        merely staler, never wrong — versions() probes the tail."""
+        vs = self._scan_versions() if versions is None else sorted(versions)
+        if not vs:
+            return
+        cp = {
+            "version": vs[-1],
+            "records": {str(v): self._commit_record(v) for v in vs},
+        }
+        tmp = os.path.join(self._commit_dir(), f".tmp-cp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(cp, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._checkpoint_path())
+
+    def _scan_versions(self) -> list[int]:
+        """Full O(commits) directory listing — the no-checkpoint
+        fallback and the checkpoint writer's source of truth."""
+        out = set()
         for name in os.listdir(self._commit_dir()):
             if name.endswith(".json") and not name.startswith("."):
                 try:
-                    out.append(int(name[:-5]))
+                    out.add(int(name[:-5]))
                 except ValueError:
                     continue
         return sorted(out)
+
+    def versions(self) -> list[int]:
+        """Retained commit versions. With a checkpoint present this is
+        O(commits since the last checkpoint): the checkpointed list
+        plus a sequential existence probe of the tail — never a full
+        log listing (the Delta _last_checkpoint read pattern; on object
+        stores the probe maps to a ``startAfter`` list)."""
+        cp = self._load_checkpoint()
+        if cp is None:
+            return self._scan_versions()
+        out = sorted(int(k) for k in cp["records"])
+        v = int(cp["version"]) + 1
+        cdir = self._commit_dir()
+        while os.path.exists(os.path.join(cdir, f"{v}.json")):
+            out.append(v)
+            v += 1
+        return out
 
     def current_version(self) -> int:
         """Latest committed version; 0 = table never committed."""
@@ -98,8 +152,14 @@ class TransactionalParquetSink:
         return vs[-1] if vs else 0
 
     def _commit_record(self, version: int) -> dict:
-        with open(os.path.join(self._commit_dir(), f"{version}.json")) as f:
-            return json.load(f)
+        try:
+            with open(os.path.join(self._commit_dir(), f"{version}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            cp = self._load_checkpoint()
+            if cp is not None and str(version) in cp["records"]:
+                return cp["records"][str(version)]
+            raise
 
     def _try_commit(self, version: int, data_dir: str, op: str) -> bool:
         """Atomically claim ``version``: write the record to a temp
@@ -150,6 +210,7 @@ class TransactionalParquetSink:
             if self._pre_commit_hook is not None:
                 self._pre_commit_hook()
             if self._try_commit(base + 1, staged, op):
+                self._maybe_checkpoint(base + 1)
                 return base + 1
             # conflict: our snapshot was computed against a stale base —
             # it must never become visible. Reclaim it and rebase.
@@ -251,43 +312,88 @@ class TransactionalParquetSink:
         base = self.current_version()
         for _ in range(self.max_retries):
             if self._try_commit(base + 1, src_dir, f"clone:{source.path}@{v}"):
+                self._maybe_checkpoint(base + 1)
                 return base + 1
             base = self.current_version()
         raise CommitConflict(
             f"gave up after {self.max_retries} optimistic retries on {self.path}"
         )
 
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Every ``checkpoint_interval`` commits, roll the log up into
+        _last_checkpoint so readers stop paying O(commits) listings.
+        Failure here is harmless (the next eligible commit retries)."""
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            try:
+                self._write_checkpoint()
+            except OSError:
+                pass
+
     # -- maintenance -------------------------------------------------
-    def vacuum(self, keep_last: int | None = None) -> int:
+    def vacuum(self, keep_last: int | None = None,
+               grace_seconds: float = 600.0) -> int:
         """Reclaim invisible storage: orphaned data dirs no commit
         references (crashed or conflicted writers) and stale .tmp
         commit files. With ``keep_last=k``, also retires commits (and
         their snapshots) older than the newest k — bounding time-travel
-        history. Never touches the current version. Returns the number
-        of directories/files removed."""
+        history. Never touches the current version.
+
+        ``grace_seconds`` (default 10 min, the Delta VACUUM retention
+        idea scaled down) protects IN-FLIGHT writers: a concurrent
+        writer sits between _stage() and _try_commit() with a fully
+        staged but not-yet-referenced _data dir — exactly what the
+        orphan sweep looks for. Unreferenced dirs (and .tmp commit
+        files) younger than the grace window are skipped, so the
+        writer's commit lands on intact data; pass 0 only when no
+        writer can be active (tests, single-writer maintenance).
+
+        Returns the number of directories/files removed."""
+        import time
+
         removed = 0
+        now = time.time()
+
+        def _expired(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= grace_seconds
+            except OSError:
+                return False  # vanished underneath us — not ours to reap
+
         data_root_abs = os.path.realpath(os.path.join(self.path, "_data"))
         vs = self.versions()
         if keep_last is not None and len(vs) > keep_last:
-            for v in vs[:-keep_last]:
+            retire, keep = vs[:-keep_last], vs[-keep_last:]
+            targets = []
+            for v in retire:
                 rec = self._commit_record(v)
-                target = os.path.realpath(os.path.join(self.path, rec["dir"]))
+                targets.append(os.path.realpath(os.path.join(self.path, rec["dir"])))
+            # shrink the checkpoint to the survivors BEFORE deleting
+            # anything, so a reader never resolves a retired commit
+            # through a stale checkpoint record
+            if self._load_checkpoint() is not None:
+                self._write_checkpoint(keep)
+            for v, target in zip(retire, targets):
                 # never touch snapshots outside this table's own _data
                 # (shallow clones point at the SOURCE table's storage)
                 if target.startswith(data_root_abs + os.sep):
                     shutil.rmtree(target, ignore_errors=True)
-                os.unlink(os.path.join(self._commit_dir(), f"{v}.json"))
+                try:
+                    os.unlink(os.path.join(self._commit_dir(), f"{v}.json"))
+                except FileNotFoundError:
+                    pass
                 removed += 1
             vs = self.versions()
         live = {self._commit_record(v)["dir"] for v in vs}
         data_root = os.path.join(self.path, "_data")
         for name in os.listdir(data_root):
             rel = os.path.join("_data", name)
-            if rel not in live:
-                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+            full = os.path.join(data_root, name)
+            if rel not in live and _expired(full):
+                shutil.rmtree(full, ignore_errors=True)
                 removed += 1
         for name in os.listdir(self._commit_dir()):
-            if name.startswith(".tmp-"):
-                os.unlink(os.path.join(self._commit_dir(), name))
+            full = os.path.join(self._commit_dir(), name)
+            if name.startswith(".tmp-") and _expired(full):
+                os.unlink(full)
                 removed += 1
         return removed

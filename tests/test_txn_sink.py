@@ -84,7 +84,11 @@ def test_crashed_writer_leftovers_invisible_and_vacuumed(spark, tmp_path):
     open(tmp, "w").write("{")
     assert _rows(sink.read(), "k", "v") == [(1, "a")], "reader saw uncommitted data"
     assert sink.current_version() == 1
-    removed = sink.vacuum()
+    # within the grace window the leftovers are PROTECTED — they are
+    # indistinguishable from a live writer's staged-but-uncommitted work
+    assert sink.vacuum() == 0
+    assert os.path.exists(os.path.join(str(tmp_path / "t"), orphan))
+    removed = sink.vacuum(grace_seconds=0.0)
     assert removed == 2
     assert not os.path.exists(os.path.join(str(tmp_path / "t"), orphan))
     assert not os.path.exists(tmp)
@@ -227,3 +231,73 @@ def test_shallow_clone_zero_copy_and_vacuum_safety(spark, tmp_path):
         TransactionalParquetSink(spark, str(tmp_path / "e")).clone_from(
             TransactionalParquetSink(spark, str(tmp_path / "e2"))
         )
+
+
+def test_vacuum_grace_protects_inflight_writer(spark, tmp_path):
+    """vacuum() running in the window between a concurrent writer's
+    _stage() and _try_commit() must NOT reap the fully-staged (but not
+    yet referenced) snapshot: the default grace window treats young
+    unreferenced _data dirs as potentially in-flight, so the writer's
+    commit lands on intact data."""
+    sink = TransactionalParquetSink(spark, str(tmp_path / "t"))
+    sink.append(spark.createDataFrame([Row(k=1)]))
+    maint = TransactionalParquetSink(spark, str(tmp_path / "t"))
+
+    def hostile_vacuum():
+        maint.vacuum()  # default grace: must skip the staged snapshot
+        sink._pre_commit_hook = None
+
+    sink._pre_commit_hook = hostile_vacuum
+    v = sink.append(spark.createDataFrame([Row(k=2)]))
+    assert v == 2
+    # the commit points at data vacuum could have deleted — prove it reads
+    assert _rows(sink.read(), "k") == [(1,), (2,)]
+
+
+def test_commit_log_checkpoint_bounds_listing(spark, tmp_path, monkeypatch):
+    """With a checkpoint every 10 commits, resolving the version list
+    must cost O(commits since checkpoint) — one _last_checkpoint read
+    plus a sequential tail probe — never a full O(commits) log listing
+    (the Delta _last_checkpoint pattern)."""
+    sink = TransactionalParquetSink(
+        spark, str(tmp_path / "t"), checkpoint_interval=10
+    )
+    one = spark.createDataFrame([Row(k=1)])
+    for _ in range(25):
+        sink.append(one)
+    counts = {"listdir": 0, "exists": 0}
+    real_listdir, real_exists = os.listdir, os.path.exists
+
+    def counting_listdir(p):
+        counts["listdir"] += 1
+        return real_listdir(p)
+
+    def counting_exists(p):
+        counts["exists"] += 1
+        return real_exists(p)
+
+    monkeypatch.setattr(os, "listdir", counting_listdir)
+    monkeypatch.setattr(os.path, "exists", counting_exists)
+    assert sink.versions() == list(range(1, 26))
+    assert counts["listdir"] == 0, "versions() listed the full commit log"
+    assert counts["exists"] <= 25 % 10 + 1, "tail probe exceeded the checkpoint gap"
+
+
+def test_checkpoint_coexists_with_vacuum_retirement(spark, tmp_path):
+    """vacuum(keep_last) shrinks the checkpoint to the survivors BEFORE
+    deleting anything, so time travel through the checkpointed log
+    stays exact: retained versions read, retired versions raise, and
+    new commits keep extending the log."""
+    sink = TransactionalParquetSink(
+        spark, str(tmp_path / "t"), checkpoint_interval=5
+    )
+    for i in range(12):
+        sink.append(spark.createDataFrame([Row(k=i)]))
+    sink.vacuum(keep_last=3, grace_seconds=0.0)
+    assert sink.versions() == [10, 11, 12]
+    assert len(sink.read(version=10).collect()) == 10
+    with pytest.raises(ValueError, match="not committed"):
+        sink.read(version=5)
+    v = sink.append(spark.createDataFrame([Row(k=99)]))
+    assert v == 13 and sink.versions() == [10, 11, 12, 13]
+    assert len(sink.read().collect()) == 13

@@ -19,7 +19,13 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
-from easy_etl_spark.session import TABLES, get_spark, register_views, table_path
+from easy_etl_spark.session import (
+    TABLES,
+    get_spark,
+    register_views,
+    release_caches,
+    table_path,
+)
 
 
 def norm_value(v):
@@ -62,11 +68,16 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # NOTE: collects the query's full result to the driver — this
+            # is a TEST tool for sf<=0.01; add a LIMIT guard before
+            # pointing it at larger scale factors.
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            release_caches()  # operator-internal caches: no cross-query leak
         oracle = oracles.get(name)
         if oracle is None:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
