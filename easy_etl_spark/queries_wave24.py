@@ -12,9 +12,10 @@ percentiles reuse the engine-portable rank interpolation
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.ranking import global_row_number
 from .queries import register
 from .queries_wave17 import _pct_col, _pct_sql
 from .session import load_table
@@ -57,10 +58,12 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer seconds; the percentile interpolation is the portable
     rank formula.
 
-    Scale: two per-user aggregates co-partitioned on user_id; the rank
-    window runs over the CONVERTED-USERS frame (one row per converter,
-    dimension-sized — at extreme cardinality swap in the range-
-    partitioned rank, same as the Pareto/eval queries)."""
+    Scale: two per-user aggregates co-partitioned on user_id; the
+    latency frame (one row per converter) is ranked with the BANDED
+    global row_number (operators/ranking.py) — range-partition on v,
+    per-partition row_number, broadcast prefix offsets — so there is no
+    single-partition sort even when the converter frame is billions of
+    rows; the total count falls out of the offsets pass for free."""
     e = load_table(spark, sf_dir, "events")
     s = (
         e.filter(F.col("event_type") == "signup")
@@ -77,14 +80,10 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = p.select(
         (F.unix_timestamp("pu") - F.unix_timestamp("su")).cast("bigint").alias("v")
     )
-    w = Window.orderBy("v")
-    r = lat.select(
-        "v",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
+    ranked, total = global_row_number(
+        lat, [F.col("v")], out_col="rn", with_total=True
     )
+    r = ranked.withColumn("n", F.lit(total).cast("bigint"))
     return r.agg(
         F.max("n").alias("n_converted"),
         F.round(_pct_col(0.5, "v") / F.lit(60.0), 4).alias("p50_minutes"),

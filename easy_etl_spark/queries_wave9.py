@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import register
+from .operators.ranking import global_prior_max, global_row_number
 from .session import load_table, track_cache
 
 
@@ -258,21 +259,22 @@ def pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cumulative share (the 80/20 curve). Revenue is exact cents
     end-to-end; shares are one double division.
 
-    Scale: the ranking window runs on the POST-AGGREGATION customer
-    frame (|customers| rows, not |orders|). At 10^9 customers, swap the
-    row_number for the repartitionByRange + partition-offset rank
-    (operators/packing.global_running_offset pattern) — the decile math
-    is unchanged; the 10-row cumulative window is trivial."""
+    Scale: the ranking runs on the POST-AGGREGATION customer frame
+    (|customers| rows, not |orders|) through the BANDED global
+    row_number (operators/ranking.py — range-partition on the rank
+    key, per-partition row_number, broadcast prefix offsets), so a
+    10^9-customer frame never funnels through one task. The 10-row
+    decile cumulative is a broadcast triangular self-join — no global
+    window anywhere in the plan."""
     o = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
     totals = rev.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    ranked = rev.crossJoin(F.broadcast(totals)).withColumn(
-        "rn", F.row_number().over(w)
-    )
+    ranked = global_row_number(
+        rev, [F.col("cents").desc(), F.col("o_custkey")], out_col="rn"
+    ).crossJoin(F.broadcast(totals))
     deciles = (
         ranked.groupBy(
             F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("bigint").alias("__dm1")
@@ -289,8 +291,21 @@ def pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    cum = deciles.withColumn("cum_cents", F.sum("dec_cents").over(wc))
+    # 10-row cumulative share: broadcast triangular self-join instead
+    # of a global ORDER BY window (the frame is 10 rows, but the plan
+    # shape must stay single-partition-free for the catalog gate and
+    # for composition into larger plans)
+    a, b = deciles.alias("a"), deciles.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(
+            F.max(F.col("a.n_customers")).alias("n_customers"),
+            F.max(F.col("a.dec_cents")).alias("dec_cents"),
+            F.max(F.col("a.total")).alias("total"),
+            F.sum(F.col("b.dec_cents")).alias("cum_cents"),
+        )
+    )
     return cum.select(
         "decile",
         "n_customers",
@@ -432,15 +447,18 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join: collapse to one row per price (max size), scan prices
     ascending keeping the best size seen strictly before — a part
     survives iff it tops its price group and beats every cheaper group.
-    Scale: the window runs over DISTINCT prices (tiny); at larger
-    cardinality range-partition by price and prefix-merge per-partition
-    maxima (same pattern as packing.global_running_offset)."""
+    Scale: the exclusive running max is the BANDED global_prior_max
+    (operators/ranking.py) — range-partition by price, per-partition
+    exclusive max window, driver prefix-merge of the numPartitions
+    per-partition maxima — so the price frame never collapses onto one
+    task at any cardinality."""
     p = _t(spark, sf_dir, "part")
     groups = p.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("gmax")
     )
-    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-    run = groups.withColumn("prior_max", F.max("gmax").over(w))
+    run = global_prior_max(
+        groups, "gmax", [F.col("price")], out_col="prior_max"
+    )
     return (
         p.join(F.broadcast(run), p.p_retailprice == run.price)
         .filter(

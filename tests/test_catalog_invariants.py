@@ -39,13 +39,13 @@ SKIP = {
 }
 
 # audited global sorts over aggregated dimension-sized frames (each
-# docstring names the repartitionByRange/prefix-merge swap)
+# docstring names the repartitionByRange/prefix-merge swap). Round 5
+# removed conversion_latency / pareto_revenue_deciles / skyline_parts:
+# their unbounded-frame ranks now run through the banded
+# operators/ranking.py primitives with no single-partition stage.
 GLOBAL_SORT_OK = {
-    "pareto_revenue_deciles",  # |customers| post-aggregation ranking
-    "skyline_parts",           # distinct prices
     "classifier_eval",         # distinct scores
     "vocab_coverage_curve",    # vocabulary frame
-    "conversion_latency",      # converted-users frame
     "temperature_mix",         # |sources| frame
     # guarded dims-only surrogate-id row_number (operators/links.py
     # max_rows guard) inside the link/pipeline facade:
