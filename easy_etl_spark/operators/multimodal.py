@@ -659,7 +659,8 @@ def decode_wav(data: bytes):
     channel count. Returns (samples, sample_rate) with samples int32
     of shape (n_frames, channels) — 8-bit input is recentred to signed
     (−128..127) so downstream energy math is format-independent.
-    Compressed codecs (MP3/FLAC/IEEE-float WAV) refuse loudly."""
+    MP3 / IEEE-float WAV refuse loudly; compressed FLAC has its own
+    native decoder (operators/flaccodec.decode_flac)."""
     import struct
 
     import numpy as np
@@ -730,6 +731,102 @@ def synth_wav_audio(docs: DataFrame, max_docs: int = 100) -> DataFrame:
         .filter(F.col("doc_id") < max_docs)
         .mapInPandas(run, "doc_id bigint, media binary")
     )
+
+
+def synth_flac_audio(docs: DataFrame, max_docs: int = 100) -> DataFrame:
+    """Deterministic FLAC fixture column: doc_id → a real compressed
+    FLAC stream (operators/flaccodec.py) whose decoded sample i is
+    ((doc_id*37 + i*23) % 65536) − 32768, with n = 192 + 64·(doc_id %
+    4) frames. The ENCODING varies per doc — subframe strategy cycles
+    auto/lpc/verbatim and the block size cycles 64/96/128 — so the
+    oracle replay exercises fixed-predictor, quantized-LPC and
+    verbatim decode paths plus multi-frame reassembly; any Rice/CRC/
+    predictor mistake in decode_flac moves a window energy."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        from . import flaccodec as _fc
+
+        cloudpickle.register_pickle_by_value(sys.modules[_fc.__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .flaccodec import encode_flac
+
+        modes = ["auto", "lpc", "verbatim"]
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                nsamp = 192 + 64 * (doc_id % 4)
+                i = np.arange(nsamp, dtype="int64")
+                s = ((doc_id * 37 + i * 23) % 65536) - 32768
+                out["doc_id"].append(doc_id)
+                out["media"].append(
+                    encode_flac(
+                        s,
+                        bits=16,
+                        block_size=64 + 32 * (doc_id % 3),
+                        subframe=modes[doc_id % 3],
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < max_docs)
+        .mapInPandas(run, "doc_id bigint, media binary")
+    )
+
+
+def flac_window_energy(media_df: DataFrame, window: int = 64) -> DataFrame:
+    """REAL compressed-audio decode + windowed loudness: parse each
+    blob with flaccodec.decode_flac (Rice residuals, predictors, CRCs
+    and all), mix channels by integer sum, and emit per-window sample
+    count, energy (Σ sample²) and peak (max sample²) — the same
+    RMS/peak profile as wav_window_energy, now over a real compressed
+    codec. Per-partition mapInPandas, zero shuffle; integer outputs
+    end-to-end."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        from . import flaccodec as _fc
+
+        cloudpickle.register_pickle_by_value(sys.modules[_fc.__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .flaccodec import decode_flac
+
+        for pdf in batches:
+            ids, wins, ns, es, ps = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                samples, _rate = decode_flac(bytes(blob))
+                mono = samples.sum(axis=1, dtype=np.int64)
+                for w in range((len(mono) + window - 1) // window):
+                    chunk = mono[w * window : (w + 1) * window]
+                    sq = chunk * chunk
+                    ids.append(doc_id)
+                    wins.append(w)
+                    ns.append(len(chunk))
+                    es.append(int(sq.sum()))
+                    ps.append(int(sq.max()) if len(sq) else 0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "win": wins, "n_samples": ns, "energy": es, "peak": ps}
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(run, WAV_WINDOW_SCHEMA)
 
 
 WAV_WINDOW_SCHEMA = (

@@ -595,3 +595,4 @@ from . import queries_wave31  # noqa: E402,F401
 from . import queries_wave32  # noqa: E402,F401
 from . import queries_wave33  # noqa: E402,F401
 from . import queries_wave34  # noqa: E402,F401
+from . import queries_wave35  # noqa: E402,F401

@@ -378,7 +378,8 @@ def audio_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the sample formula as pure integer SQL — any header,
     alignment, stride or sign error in the decoder moves an energy
     sum. Extends the native-codec story (PPM/BMP/PNG/JPEG) to audio;
-    compressed audio (MP3/FLAC) still refuses by contract."""
+    compressed FLAC decodes natively too (audio_flac_windows,
+    operators/flaccodec.py) while MP3 refuses by contract."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synth_wav_audio(docs, max_docs=100)
     return multimodal.wav_window_energy(media, window=64)

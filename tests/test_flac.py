@@ -1,0 +1,150 @@
+"""Native FLAC codec (operators/flaccodec.py): exact round-trips over
+every subframe type / bit depth / stereo mode, loud refusals on the
+unsupported corners, and the Spark windowed-energy plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from easy_etl_spark.operators.flaccodec import _crc8, decode_flac, encode_flac
+
+RNG = np.random.RandomState(1234)
+
+
+def _roundtrip(samples, **kw):
+    data = encode_flac(samples, **kw)
+    dec, rate = decode_flac(data)
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    assert dec.shape == a.shape
+    assert (dec == a).all()
+    return data
+
+
+def test_roundtrip_fixed_predictors_and_multi_frame():
+    i = np.arange(500, dtype="int64")
+    saw = ((7 * 31 + i * 17) % 65536) - 32768
+    data = _roundtrip(saw, block_size=192)
+    # the linear ramp must actually compress (fixed predictor + Rice)
+    assert len(data) < saw.size  # << 2 bytes/sample raw
+
+
+def test_roundtrip_constant_verbatim_lpc():
+    _roundtrip(np.full(300, -123), block_size=4096)  # CONSTANT
+    noise = RNG.randint(-32768, 32768, 700)
+    _roundtrip(noise, subframe="verbatim", block_size=256)
+    ramp = np.cumsum(RNG.randint(-3, 4, 1000))
+    _roundtrip(ramp, subframe="lpc", block_size=333)  # quantized LPC
+
+
+def test_roundtrip_bit_depths():
+    _roundtrip(RNG.randint(-128, 128, 333), bits=8, block_size=100)
+    _roundtrip(RNG.randint(-32768, 32768, 400), bits=16, block_size=256)
+    _roundtrip(RNG.randint(-(1 << 23), 1 << 23, 400), bits=24, block_size=256)
+
+
+def test_roundtrip_stereo_decorrelation_modes():
+    st = np.stack(
+        [RNG.randint(-32768, 32768, 400), RNG.randint(-32768, 32768, 400)], axis=1
+    )
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        _roundtrip(st, stereo=mode, block_size=128)
+    # correlated stereo: side channel near-zero -> decorrelation wins
+    base = np.cumsum(RNG.randint(-50, 51, 2000))
+    corr = np.stack([base, base + RNG.randint(-2, 3, 2000)], axis=1)
+    ind = encode_flac(corr, stereo="independent", block_size=512)
+    ms = encode_flac(corr, stereo="mid_side", block_size=512)
+    assert len(ms) < len(ind)
+
+
+def test_roundtrip_many_frames_utf8_numbers():
+    # >128 frames exercises multi-byte UTF-8-coded frame numbers
+    _roundtrip(RNG.randint(-100, 100, 16 * 130), block_size=16)
+
+
+def test_refuses_non_flac_and_truncation():
+    with pytest.raises(ValueError, match="fLaC magic"):
+        decode_flac(b"RIFFnot-a-flac")
+    data = encode_flac(np.arange(100), block_size=256)
+    with pytest.raises(ValueError):
+        decode_flac(data[:30])
+    with pytest.raises(ValueError):
+        decode_flac(data[:-10])
+
+
+_FRAME0 = 4 + 4 + 34  # magic + metadata block header + STREAMINFO
+
+
+def _patch_header(data: bytes, byte3: int) -> bytes:
+    """Rewrite byte 3 of the first frame header (channel/sample-size
+    bits) and fix up the header CRC-8 so the refusal under test fires
+    instead of the CRC check."""
+    buf = bytearray(data)
+    buf[_FRAME0 + 3] = byte3
+    # header = 4 fixed bytes + 1 UTF-8 byte (frame 0); CRC-8 follows
+    buf[_FRAME0 + 5] = _crc8(bytes(buf[_FRAME0 : _FRAME0 + 5]))
+    return bytes(buf)
+
+
+def test_refuses_12_and_20_bit_depths():
+    data = encode_flac(np.arange(300), block_size=256)  # tabled size: no inline bytes
+    b3 = data[_FRAME0 + 3]
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_flac(_patch_header(data, (b3 & 0xF1) | (0b010 << 1)))
+    with pytest.raises(NotImplementedError, match="20-bit"):
+        decode_flac(_patch_header(data, (b3 & 0xF1) | (0b101 << 1)))
+
+
+def test_refuses_reserved_channel_assignment():
+    data = encode_flac(np.arange(300), block_size=256)
+    b3 = data[_FRAME0 + 3]
+    with pytest.raises(ValueError, match="reserved FLAC channel assignment"):
+        decode_flac(_patch_header(data, (0b1011 << 4) | (b3 & 0x0F)))
+
+
+def test_crc_mismatches_raise():
+    data = bytearray(encode_flac(np.arange(300), block_size=256))
+    bad_hdr = bytearray(data)
+    bad_hdr[_FRAME0 + 4] ^= 0x01  # frame number byte: breaks header CRC-8
+    with pytest.raises(ValueError, match="CRC-8"):
+        decode_flac(bytes(bad_hdr))
+    bad_tail = bytearray(data)
+    bad_tail[-1] ^= 0xFF  # frame CRC-16 itself
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(bad_tail))
+
+
+def test_encode_refuses_unsupported_depths():
+    with pytest.raises(NotImplementedError):
+        encode_flac(np.arange(10), bits=12)
+    with pytest.raises(NotImplementedError):
+        encode_flac(np.arange(10), bits=32)
+
+
+def test_flac_window_energy_matches_wav_decode_path(spark, sf_dir):
+    """The Spark FLAC plumbing must produce the same windowed energies
+    as decoding locally — and the same numbers the SQL oracle replays
+    from the sample formula."""
+    from easy_etl_spark.operators.multimodal import (
+        flac_window_energy,
+        synth_flac_audio,
+    )
+    from easy_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_flac_audio(docs, max_docs=8)
+    got = {
+        (r.doc_id, r.win): (r.n_samples, r.energy, r.peak)
+        for r in flac_window_energy(media, window=64).collect()
+    }
+    assert got, "no windows produced"
+    for doc_id in range(min(8, 1 + max(k[0] for k in got))):
+        n = 192 + 64 * (doc_id % 4)
+        i = np.arange(n, dtype="int64")
+        v = ((doc_id * 37 + i * 23) % 65536) - 32768
+        for w in range((n + 63) // 64):
+            chunk = v[w * 64 : (w + 1) * 64]
+            sq = chunk * chunk
+            assert got[(doc_id, w)] == (len(chunk), int(sq.sum()), int(sq.max()))
