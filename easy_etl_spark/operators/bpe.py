@@ -48,54 +48,183 @@ def _adjacent_pairs(s):
 
 
 def train_merges_with_state(
-    docs: DataFrame, k: int = 4, text_col: str = "text"
+    docs: DataFrame, k: int = 4, text_col: str = "text", batched: bool = True
 ) -> "tuple[DataFrame, DataFrame]":
     """train_merges plus the final vocab symbol state (w, cnt, s) —
     the encode side reuses the state instead of replaying merges."""
-    return _train(docs, k, text_col)
+    return (_train_batched if batched else _train_sequential)(docs, k, text_col)
 
 
-def train_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame:
+def train_merges(
+    docs: DataFrame, k: int = 4, text_col: str = "text", batched: bool = True
+) -> DataFrame:
     """Learn the first k BPE merges; returns one row per merge:
-    (rank, pair, merged, support).
-
-    Per iteration: one weighted pair-count aggregate over the vocab
-    (argmax collected — a single bounded row) and a replace-to-fixpoint
-    map pass (checkpointed; the fixpoint loop reruns only while some
-    word still contains the pair, which resolves in a couple of passes
-    since each replace strictly shortens the symbol string)."""
-    return _train(docs, k, text_col)[0]
+    (rank, pair, merged, support). Default is the ROUND-BATCHED trainer
+    (several provably-independent merges per Spark round, bit-equal to
+    sequential greedy); ``batched=False`` runs the one-merge-per-round
+    reference implementation."""
+    return (_train_batched if batched else _train_sequential)(docs, k, text_col)[0]
 
 
-def _train(docs: DataFrame, k: int, text_col: str):
-    spark = docs.sparkSession
-    words = (
+def _init_words(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
         word_counts(docs, text_col)
         .select("w", "cnt", _spaced(F.col("w")).alias("s"))
         .localCheckpoint()
     )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    return (
+        words.select("cnt", F.explode(_adjacent_pairs(F.col("s"))).alias("pr"))
+        .groupBy("pr")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _apply_merges(words: DataFrame, pats: "list[tuple[str, str]]") -> DataFrame:
+    """Replace-to-fixpoint for a set of SYMBOL-DISJOINT patterns in one
+    chained map pass per round (disjointness makes the replaces commute
+    and equal the sequential per-pattern fixpoints)."""
+    while True:
+        col = F.col("s")
+        for pat, rep in pats:
+            col = F.replace(col, F.lit(pat), F.lit(rep))
+        words = words.withColumn("s", col).localCheckpoint()
+        remaining = None
+        for pat, _rep in pats:
+            c = F.instr(F.col("s"), pat) > 0
+            remaining = c if remaining is None else (remaining | c)
+        if words.filter(remaining).isEmpty():
+            return words
+
+
+def _train_sequential(docs: DataFrame, k: int, text_col: str):
+    """One full pair-count pass + argmax per merge — the reference
+    formulation the batched trainer is proven against."""
+    spark = docs.sparkSession
+    words = _init_words(docs, text_col)
     out = []
     for rank in range(1, k + 1):
         best = (
-            words.select("cnt", F.explode(_adjacent_pairs(F.col("s"))).alias("pr"))
-            .groupBy("pr")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), "pr")
-            .limit(1)
-            .collect()
+            _pair_counts(words).orderBy(F.col("c").desc(), "pr").limit(1).collect()
         )
         if not best:
             break
         pair, support = best[0]["pr"], int(best[0]["c"])
         merged = pair.replace(" ", "")
-        pat, rep = f" {pair} ", f" {merged} "
-        while True:
-            words = words.withColumn(
-                "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
-            ).localCheckpoint()
-            if words.filter(F.instr(F.col("s"), pat) > 0).count() == 0:
-                break
+        words = _apply_merges(words, [(f" {pair} ", f" {merged} ")])
         out.append((rank, pair, merged, support))
+    merges = spark.createDataFrame(
+        out, "rank int, pair string, merged string, support bigint"
+    )
+    return merges, words
+
+
+def _select_batch(top: list, window: int) -> "tuple[list, int]":
+    """Driver-side batch selection over the collected top-``window``
+    pair counts (sorted by count DESC, pair ASC). Returns (batch,
+    stop_count) where batch is the maximal PREFIX of candidates that is
+    pairwise independent:
+
+      - symbol-disjoint (merging one cannot create or destroy
+        occurrences of another),
+      - merged strings distinct and never equal to another candidate's
+        symbol (no within-batch symbol collisions).
+
+    The prefix rule matters: the first incompatible candidate STOPS the
+    scan (we may not skip it — after earlier merges it could be the
+    true next argmax), and its count becomes the conservative bound on
+    every pair outside the batch.
+
+    SELF-PAIRS (x x) end the batch after themselves: merging a run
+    "x x x" creates a (xx, x) riser whose bridge is the self-pair
+    ITSELF — bounded by its own support, not by stop_count — so no
+    later candidate's exactness can be certified past it."""
+    batch: list[tuple[str, int, list[str], str]] = []
+    stop_count = 0
+    for i, row in enumerate(top):
+        pr, c = row["pr"], int(row["c"])
+        syms = pr.split(" ")
+        merged = pr.replace(" ", "")
+        ok = True
+        for _p2, _c2, syms2, m2 in batch:
+            if (
+                set(syms) & set(syms2)
+                or merged == m2
+                or merged in syms2
+                or m2 in syms
+            ):
+                ok = False
+                break
+        if not ok:
+            stop_count = c
+            break
+        batch.append((pr, c, syms, merged))
+        if syms[0] == syms[1]:
+            stop_count = c  # self-pair: own risers bounded only by c
+            break
+    else:
+        # window exhausted with no conflict: anything unseen is bounded
+        # by the last seen count (sorted order) — unless the window was
+        # not even filled, in which case there IS nothing unseen
+        stop_count = int(top[-1]["c"]) if len(top) >= window else 0
+    return batch, stop_count
+
+
+def _train_batched(docs: DataFrame, k: int, text_col: str, window: int = 32):
+    """Round-batched exact BPE: per Spark round, ONE pair-count
+    aggregate (+ a bounded top-``window`` collect) yields SEVERAL
+    merges instead of one, cutting a 32k-merge vocabulary from 32k
+    sequential rounds to the order of hundreds — the scheduler-
+    overhead fix for production-sized tokenizers (SCALING.md).
+
+    Bit-equality with sequential greedy is PROVEN, not assumed, via
+    two driver-side rules over the collected counts:
+
+    1. The batch is the maximal prefix of (count DESC, pair ASC)-sorted
+       candidates that is pairwise symbol-disjoint with collision-free
+       merged symbols (_select_batch) — so applying any batch subset
+       changes no other batch member's count, and supports stay exact.
+    2. Candidate i (1-based) is RETAINED only while
+       ``count_i > 2^(i-1) * stop_count`` where stop_count bounds every
+       non-batch pair. Induction: before any merge every non-batch
+       count <= stop_count; each applied merge can at most add one
+       bounded bridge-pair's worth of new occurrences to any single
+       pair, doubling the bound per step. A retained candidate
+       therefore still beats every possible riser (strictly — ties
+       cannot flip) at its sequential turn, and candidate 1 is the
+       literal argmax. Anything past the first failure re-enters the
+       next round's fresh count.
+    """
+    spark = docs.sparkSession
+    words = _init_words(docs, text_col)
+    out = []
+    while len(out) < k:
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("c").desc(), "pr")
+            .limit(window)
+            .collect()
+        )
+        if not top:
+            break
+        batch, stop_count = _select_batch(top, window)
+        retained = [batch[0]]
+        for i, cand in enumerate(batch[1:], start=2):
+            if cand[1] > (1 << (i - 1)) * stop_count:
+                retained.append(cand)
+            else:
+                break
+        retained = retained[: k - len(out)]
+        words = _apply_merges(
+            words, [(f" {pr} ", f" {merged} ") for pr, _c, _s, merged in retained]
+        )
+        base = len(out)
+        out.extend(
+            (base + j + 1, pr, merged, c)
+            for j, (pr, c, _s, merged) in enumerate(retained)
+        )
     merges = spark.createDataFrame(
         out, "rank int, pair string, merged string, support bigint"
     )
