@@ -226,12 +226,24 @@ def interval_join_stream(
     right_type: str = "purchase",
     minutes: int = 30,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time range condition —
-    the canonical Spark pattern: both sides watermarked, and the
-    time-bound in the join predicate lets the engine evict buffered
-    rows once the watermark passes left.ts + interval (bounded state).
-    Streaming twin of windows.interval_pairs."""
+    """Stream-stream join with an event-time range condition — the
+    canonical Spark pattern: both sides watermarked, and the time-bound
+    in the join predicate lets the engine evict buffered rows once the
+    watermark passes left.ts + interval (bounded state). Streaming twin
+    of windows.interval_pairs.
+
+    ``how="left_outer"`` adds watermark-driven NULL emission: a left
+    row with no match is held in state until the watermark passes its
+    join window's end, then emitted once with NULL right columns —
+    exactly the batch LEFT JOIN result, just incremental (parity
+    pytest: test_streaming_interval_join_left_outer_matches_batch,
+    including the late-arrival null rows a final no-data batch
+    flushes). The same eviction bound that caps inner-join state also
+    bounds the null-row delay: max delay = interval + watermark."""
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(f"unsupported interval join type {how!r}")
     a = (
         left.filter(F.col("event_type") == left_type)
         .select("user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("lts"))
@@ -247,12 +259,14 @@ def interval_join_stream(
         (F.col("user_id") == F.col("uid2"))
         & (F.col("rts") >= F.col("lts"))
         & (F.col("rts") < F.col("lts") + F.expr(f"INTERVAL {minutes} MINUTES")),
+        how,
     ).select(
         "user_id",
         "left_id",
         "right_id",
         # NTZ-tolerant (see windows.interval_pairs): unix_micros is
-        # LTZ-only; the cast is a no-op for LTZ inputs.
+        # LTZ-only; the cast is a no-op for LTZ inputs. In the outer
+        # case an unmatched row's gap is NULL (rts NULL propagates).
         (F.unix_micros(F.col("rts").cast("timestamp"))
          - F.unix_micros(F.col("lts").cast("timestamp"))).alias("gap_us"),
     )

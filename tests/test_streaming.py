@@ -422,3 +422,54 @@ def test_streaming_apply_changes_matches_batch(spark, tmp_path):
         apply_changes(sink.read(), spark.createDataFrame(log2, schema), keys=["k"], seq_col="seq")
     )
     assert sorted((r.k, r.v) for r in sink.read().collect()) == want
+
+
+def test_streaming_interval_join_left_outer_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream LEFT OUTER interval join: matched rows stream out
+    like the inner join; unmatched clicks emit their NULL row once the
+    watermark passes their join window. A far-future sentinel click
+    pushes the final watermark past every real click's window (the
+    no-data batch flushes the held nulls), so the drained stream must
+    equal the batch LEFT JOIN exactly — null rows included."""
+    import datetime
+
+    from easy_etl_spark.queries import QUERIES
+    from easy_etl_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    d = tmp_path / "ev"
+    d.mkdir()
+    events.filter(F.col("ts") < F.lit("2024-01-15")).coalesce(1).write.parquet(
+        str(d / "a.parquet")
+    )
+    events.filter(F.col("ts") >= F.lit("2024-01-15")).coalesce(1).write.parquet(
+        str(d / "b.parquet")
+    )
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=30), -1, "click", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).select(*events.columns)
+    sentinel.coalesce(1).write.parquet(str(d / "c.parquet"))
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(events.schema)
+        .parquet(str(d) + "/*.parquet")
+    )
+    joined = jobs.interval_join_stream(
+        stream, stream, "click", "purchase", 30, how="left_outer"
+    )
+    jobs.run_to_memory(joined, "t_interval_join_left")
+    got = {
+        (r["user_id"], r["left_id"], r["right_id"], r["gap_us"])
+        for r in spark.table("t_interval_join_left")
+        .filter(F.col("left_id") >= 0)  # sentinel's own window stays open
+        .collect()
+    }
+    batch = {
+        (r["user_id"], r["left_id"], r["right_id"], r["gap_us"])
+        for r in QUERIES["events_interval_join_left"](spark, sf_dir).collect()
+    }
+    assert got == batch and got
+    assert any(r[2] is None for r in got), "no null rows flushed"
