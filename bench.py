@@ -63,6 +63,8 @@ HEADLINE_V2 = [
     "multimodal_decode_png",
     "events_session_flush",
     "vocab_encode",
+    # round 5: salted hot-key join (skew evidence: tools/skew_bench.py)
+    "skew_salted_join_hot",
 ]
 
 

@@ -63,3 +63,59 @@ def audio_flac_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synth_flac_audio(docs, max_docs=100)
     return multimodal.flac_window_energy(media, window=64)
+
+
+from .functions.exact import dec_sum, sql_sum  # noqa: E402
+from .operators.scale import salted_join  # noqa: E402
+
+
+@register(
+    "skew_salted_join_hot",
+    f"""
+    WITH hot AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_suppkey END AS s_suppkey,
+             l_extendedprice, l_discount
+      FROM lineitem
+    )
+    SELECT s_name,
+           count(*) AS n_items,
+           {sql_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM hot JOIN supplier USING (s_suppkey)
+    GROUP BY s_name
+    ORDER BY s_name
+    """,
+)
+def skew_salted_join_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under ENGINEERED skew: 70% of lineitem rows are
+    remapped onto ONE hot supplier key (deterministic l_orderkey % 10
+    rule, so the oracle replays it), then joined through
+    operators/scale.salted_join — the hot key's rows scatter across 16
+    salt replicas instead of one straggler reducer. The oracle is the
+    plain join over the same remapping: salting must be a pure
+    physical-plan rewrite with zero value drift.
+
+    Scale evidence: tools/skew_bench.py measures this dataset with
+    plain vs salted shuffle joins (broadcast + AQE skew-split disabled
+    to simulate the big x big regime where neither applies) and
+    BASELINE.md records the straggler-vs-salted wall ratio; this
+    catalog entry keeps the salted path correctness-gated and in the
+    bench v2 set at every round."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("s_suppkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(li, sup, key="s_suppkey", salt=16)
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("s_name")
+    )
