@@ -910,3 +910,172 @@ def pcm_window_energy(media_df: DataFrame, window: int = 64) -> DataFrame:
             )
 
     return media_df.select("doc_id", "media").mapInPandas(run, PCM_WINDOW_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# Perceptual image dedup: dHash over REAL decoded pixels
+# ----------------------------------------------------------------------
+
+def _dhash_of_pixels(px, rows: int, cols: int) -> int:
+    """Difference hash of one decoded (H, W, C) uint8 image: integer
+    luma -> (rows x cols+1) block-mean grid (floor boundaries, floor
+    mean) -> horizontal gradient sign bits, MSB-first. Every step is
+    integer-exact so a SQL oracle can replay it bit-for-bit."""
+    import numpy as np
+
+    a = px.astype(np.int64)
+    if a.shape[2] >= 3:
+        gray = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    else:
+        gray = a[:, :, 0]
+    H, W = gray.shape
+    if H < rows or W < cols + 1:
+        raise ValueError(
+            f"image {W}x{H} too small for a {rows}x{cols + 1} dHash grid"
+        )
+    rb = [i * H // rows for i in range(rows + 1)]
+    cb = [j * W // (cols + 1) for j in range(cols + 2)]
+    m = [[0] * (cols + 1) for _ in range(rows)]
+    for i in range(rows):
+        for j in range(cols + 1):
+            blk = gray[rb[i] : rb[i + 1], cb[j] : cb[j + 1]]
+            m[i][j] = int(blk.sum()) // blk.size
+    h = 0
+    nbits = rows * cols
+    for i in range(rows):
+        for j in range(cols):
+            if m[i][j + 1] > m[i][j]:
+                h |= 1 << (nbits - 1 - (i * cols + j))
+    return h
+
+
+def dhash_images(media_df: DataFrame, rows: int = 8, cols: int = 7) -> DataFrame:
+    """Perceptual fingerprint per image blob: REAL decode (PPM/BMP/
+    PNG/JPEG via decode_image) -> 56-bit dHash (8x7 default keeps the
+    hash inside a signed BIGINT on every engine). Per-partition
+    mapInPandas, zero shuffle — the scale path for petabyte image
+    corpora is exactly this: one cheap integer fingerprint per blob,
+    then dedup on the (tiny) hash table."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        from . import jpegcodec as _jc
+
+        cloudpickle.register_pickle_by_value(sys.modules[_jc.__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                ids.append(doc_id)
+                hs.append(_dhash_of_pixels(decode_image(bytes(blob)), rows, cols))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hs})
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        run, "doc_id bigint, dhash bigint"
+    )
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    band_bits: int = 8,
+    n_bands: int = 7,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance on dHash —
+    BANDED, not all-pairs: split the hash into ``n_bands`` bands of
+    ``band_bits``; two hashes within ``max_hamming`` bits must agree on
+    at least one band whenever max_hamming < n_bands (pigeonhole), so
+    an equi-join on (band, value) finds every qualifying pair and the
+    exact bit_count(xor) check runs on candidates only. Returns
+    (id_a, id_b, hamming)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding is only complete for max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands})"
+        )
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright(F.col(hash_col), band_bits * b)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(bands).alias("bd")
+    ).select(id_col, hash_col, "bd.b", "bd.v")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("ha"),
+            F.col(f"b.{hash_col}").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def synth_neardup_png_images(
+    docs: DataFrame, max_docs: int = 100, size: int = 24
+) -> DataFrame:
+    """Near-duplicate PNG fixture: four base patterns (doc_id % 4,
+    wrapped integer gradients so groups differ structurally, not by a
+    dHash-invariant constant shift), each doc perturbing ONE 3x3 block
+    (+96 mod 256) at a doc-derived position — so same-group docs are a
+    few dHash bits apart and cross-group docs are far. Grayscale PNG,
+    luma == pixel value, every step SQL-replayable."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                grp = doc_id % 4
+                y, x = np.mgrid[0:size, 0:size]
+                v = (grp * 37 + x * 5 + y * 11) % 256
+                bx, by = doc_id % 8, (doc_id // 8) % 8
+                blk = (slice(by * 3, by * 3 + 3), slice(bx * 3, bx * 3 + 3))
+                v[blk] = (v[blk] + 96) % 256
+                out["doc_id"].append(doc_id)
+                out["media"].append(encode_png(v.astype("uint8")))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < max_docs)
+        .mapInPandas(run, "doc_id bigint, media binary")
+    )

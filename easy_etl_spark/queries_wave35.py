@@ -119,3 +119,63 @@ def skew_salted_join_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+@register(
+    "image_dhash_pairs",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS grp, doc_id % 8 AS bx,
+                      (doc_id // 8) % 8 AS by
+               FROM documents WHERE doc_id < 100),
+    px AS (
+      SELECT doc_id, gx.x AS x, gy.y AS y,
+             CASE WHEN gx.x // 3 = bx AND gy.y // 3 = by
+                  THEN ((grp * 37 + gx.x * 5 + gy.y * 11) % 256 + 96) % 256
+                  ELSE (grp * 37 + gx.x * 5 + gy.y * 11) % 256 END AS v
+      FROM d, UNNEST(generate_series(0, 23)) AS gx(x),
+              UNNEST(generate_series(0, 23)) AS gy(y)
+    ),
+    blocks AS (
+      SELECT doc_id, y // 3 AS i, x // 3 AS j, CAST(sum(v) // 9 AS BIGINT) AS m
+      FROM px GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT l.doc_id, l.i, l.j, CASE WHEN r.m > l.m THEN 1 ELSE 0 END AS bit
+      FROM blocks l JOIN blocks r
+        ON r.doc_id = l.doc_id AND r.i = l.i AND r.j = l.j + 1
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT)
+                             << CAST(55 - (i * 7 + j) AS INTEGER))) AS BIGINT) AS h
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 4
+    """,
+)
+def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs over REAL compressed images:
+    synth deterministic grayscale PNGs (four wrapped-gradient base
+    patterns, one perturbed 3x3 block per doc), decode them with the
+    native PNG codec, fingerprint with a 56-bit block-mean dHash
+    (integer luma, floor block means, horizontal gradient sign bits),
+    and report pairs within Hamming distance 4 via BANDED candidate
+    generation (7 bands x 8 bits — pigeonhole-complete for distance
+    <= 6, so nothing under the threshold is missed) + exact
+    bit_count(xor) verification. The oracle replays pixels -> blocks ->
+    bits -> hash -> pairs in pure integer SQL: any codec, luma, block
+    boundary, or banding mistake moves the pair set.
+
+    Scale: one fingerprint per blob inside mapInPandas (blobs never
+    shuffle), then dedup runs on the hash table — the standard recipe
+    for petabyte image-corpus dedup (a 100 TB image set reduces to a
+    few GB of hashes; the band join is an equi-join on 8-bit keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_neardup_png_images(docs, max_docs=100)
+    hashes = multimodal.dhash_images(media, rows=8, cols=7)
+    return multimodal.dhash_near_dup_pairs(
+        hashes, max_hamming=4, band_bits=8, n_bands=7
+    )

@@ -458,3 +458,98 @@ def test_wav_window_energy_spark_path(spark):
     )
     rows = sorted(map(tuple, M.wav_window_energy(df, window=64).collect()))
     assert rows == [(1, 0, 64, 640000, 10000), (1, 1, 64, 640000, 10000)]
+
+
+def test_dhash_matches_naive_replay_rgb_and_odd_sizes():
+    """_dhash_of_pixels vs an independent per-pixel replay: RGB luma,
+    floor block boundaries on non-divisible sizes, MSB-first bits."""
+    import numpy as np
+
+    from easy_etl_spark.operators.multimodal import _dhash_of_pixels
+
+    rng = np.random.RandomState(5)
+    for (H, W, C) in [(24, 24, 1), (17, 23, 3), (8, 8, 3), (31, 9, 1)]:
+        px = rng.randint(0, 256, (H, W, C)).astype("uint8")
+        rows, cols = 8, 7
+        a = px.astype(np.int64)
+        gray = (
+            (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+            if C >= 3
+            else a[:, :, 0]
+        )
+        want = 0
+        for i in range(rows):
+            r0, r1 = i * H // rows, (i + 1) * H // rows
+            means = []
+            for j in range(cols + 1):
+                c0, c1 = j * W // (cols + 1), (j + 1) * W // (cols + 1)
+                blk = gray[r0:r1, c0:c1]
+                means.append(int(blk.sum()) // blk.size)
+            for j in range(cols):
+                if means[j + 1] > means[j]:
+                    want |= 1 << (56 - 1 - (i * cols + j))
+        assert _dhash_of_pixels(px, rows, cols) == want
+
+
+def test_dhash_refuses_too_small_images():
+    import numpy as np
+    import pytest
+
+    from easy_etl_spark.operators.multimodal import _dhash_of_pixels
+
+    with pytest.raises(ValueError, match="too small"):
+        _dhash_of_pixels(np.zeros((4, 4, 1), dtype="uint8"), 8, 7)
+
+
+def test_dhash_banded_pairs_equal_brute_force(spark):
+    """The banded candidate join must find EXACTLY the brute-force
+    Hamming pairs for every distance under the pigeonhole bound."""
+    import random
+
+    import pytest
+    from pyspark.sql import Row
+
+    from easy_etl_spark.operators.multimodal import dhash_near_dup_pairs
+
+    rng = random.Random(31)
+    base = rng.getrandbits(56)
+    hashes = [base]
+    for _ in range(40):
+        h = hashes[rng.randrange(len(hashes))]
+        for _ in range(rng.randrange(0, 7)):
+            h ^= 1 << rng.randrange(56)
+        hashes.append(h)
+    df = spark.createDataFrame([Row(doc_id=i, dhash=h) for i, h in enumerate(hashes)])
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dhash_near_dup_pairs(df, max_hamming=4).collect()
+    }
+    want = {
+        (i, j, bin(hashes[i] ^ hashes[j]).count("1"))
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if bin(hashes[i] ^ hashes[j]).count("1") <= 4
+    }
+    assert got == want and want
+    with pytest.raises(ValueError, match="pigeonhole|banding"):
+        dhash_near_dup_pairs(df, max_hamming=7, n_bands=7)
+
+
+def test_dhash_spark_path_decodes_real_pngs(spark, sf_dir):
+    """End-to-end: synth near-dup PNGs, decode + hash in executors;
+    same-group unperturbed-identical docs must collide exactly and the
+    planted intra-group near-dups must appear within distance 4."""
+    from easy_etl_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_dup_pairs,
+        synth_neardup_png_images,
+    )
+    from easy_etl_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_neardup_png_images(docs, max_docs=40)
+    hashes = dhash_images(media)
+    pairs = dhash_near_dup_pairs(hashes, max_hamming=4).collect()
+    assert pairs
+    for r in pairs:
+        assert r.id_a % 4 == r.id_b % 4, "cross-group false positive"
