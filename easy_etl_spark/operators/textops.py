@@ -437,3 +437,88 @@ def destutter(
         "cleaned_text",
         F.md5("cleaned_text").alias("cleaned_fp"),
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG / context-window
+    shape (stride < window keeps boundary n-grams inside some chunk,
+    unlike the non-overlapping udtf_chunk_tokens). Chunk i covers
+    tokens [i*stride, i*stride + window); the last start is the first
+    multiple of stride at or past n - window (tail always covered,
+    no degenerate fully-contained trailing chunks). JVM-only column
+    algebra: sequence + explode + slice, zero Python, zero shuffle."""
+    t = F.col("__toks")
+    n = F.size(t)
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - window, F.lit(0)) + stride - 1) / F.lit(stride)
+        ).cast("int")
+    )
+    return (
+        docs.withColumn("__toks", tokens(F.col(text_col)))
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).cast("bigint").alias("start_tok"),
+            F.array_join(
+                F.slice(t, F.col("chunk_idx") * stride + 1, window), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(t, F.col("chunk_idx") * stride + 1, window))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def gram_novelty(
+    docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-internal novelty / memorization scan: for each doc, the
+    fraction of its DISTINCT n-grams that appear in at least one OTHER
+    doc — the dup-leakage metric curation pipelines threshold before
+    training (decontaminate() covers train-vs-benchmark; this is
+    corpus-vs-itself). Returns (doc_id, n_grams, n_shared,
+    novelty_ratio) with novelty = 1 - shared/total, 4-dp rounded.
+
+    Scale shape: explode distinct (doc, gram) pairs once; gram
+    document-frequency is one map-side-combined count keyed by gram;
+    the join back to pairs is co-partitioned on gram (both sides just
+    shuffled by it); final per-doc aggregate is the only other
+    shuffle. No broadcast of corpus-sized state, no all-pairs join."""
+    t = tokens(F.col(text_col))
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    pairs = (
+        docs.select(id_col, F.explode(grams_arr).alias("g")).distinct()
+    )
+    df_counts = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        pairs.join(df_counts, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") > 1).cast("bigint")).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.lit(1.0) - F.col("n_shared").cast("double") / F.col("n_grams"), 4
+            ).alias("novelty_ratio"),
+        )
+    )

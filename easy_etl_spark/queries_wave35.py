@@ -179,3 +179,69 @@ def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dhash_near_dup_pairs(
         hashes, max_hamming=4, band_bits=8, n_bands=7
     )
+
+
+from .operators.textops import gram_novelty, sliding_chunks  # noqa: E402
+
+
+@register(
+    "doc_chunks_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             1 + (greatest(len(toks) - 8, 0) + 3) // 4 AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, g.i AS chunk_idx,
+           CAST(g.i * 4 AS BIGINT) AS start_tok,
+           array_to_string(toks[(g.i * 4 + 1):(g.i * 4 + 8)], ' ') AS chunk_text,
+           CAST(len(toks[(g.i * 4 + 1):(g.i * 4 + 8)]) AS BIGINT) AS n_tokens
+    FROM c, UNNEST(generate_series(0, CAST(n_chunks AS INT) - 1)) AS g(i)
+    """,
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (window 8, stride 4) — the
+    RAG / context-window variant of udtf_chunk_tokens: stride < window
+    keeps every boundary n-gram inside some chunk. Chunk i starts at
+    token i*stride; the tail is always covered with no fully-contained
+    trailing chunks. Pure JVM column algebra (sequence + explode +
+    slice): the token arrays never leave the scan stage and nothing
+    shuffles — at 100 TB this is a map-only pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = sliding_chunks(docs, window=8, stride=4)
+    return out.withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
+
+
+@register(
+    "gram_novelty",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    p AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[g.i:g.i + 7], ' ') AS g
+      FROM t, UNNEST(generate_series(1, greatest(len(toks) - 7, 1))) AS g(i)
+    ),
+    dfc AS (SELECT g, count(*) AS df FROM p GROUP BY g)
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(1.0 - CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS novelty_ratio
+    FROM p JOIN dfc USING (g) GROUP BY doc_id
+    """,
+)
+def gram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal novelty / memorization scan: per doc, the share
+    of its DISTINCT 8-grams that occur in at least one OTHER document
+    (decontaminate() is train-vs-benchmark; this is corpus-vs-itself —
+    the dup-leakage metric curation pipelines threshold).
+
+    Scale: one distinct (doc, gram) explode; gram document-frequency
+    is a map-side-combined count; the join back is co-partitioned on
+    the gram key; the per-doc rollup is the only other shuffle — no
+    all-pairs comparison, no corpus-sized broadcast."""
+    return gram_novelty(load_table(spark, sf_dir, "documents"), n=8)
