@@ -70,6 +70,11 @@ _PRIORITY = [
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "audio_wav_windows",
+    "audio_flac_windows",
+    "image_dhash_pairs",
+    "gram_novelty",
+    "doc_chunks_overlap",
+    "skew_salted_join_hot",
     # similarity / search (oracle-checked int twins first; the
     # double/xxhash64 production variants are rows-only and follow in
     # the tail)
