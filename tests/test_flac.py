@@ -148,3 +148,62 @@ def test_flac_window_energy_matches_wav_decode_path(spark, sf_dir):
             chunk = v[w * 64 : (w + 1) * 64]
             sq = chunk * chunk
             assert got[(doc_id, w)] == (len(chunk), int(sq.sum()), int(sq.max()))
+
+
+# ----------------------------------------------------------------------
+# Property-based bit-level coverage
+# ----------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSET = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(**_HSET)
+@given(
+    n=st.integers(min_value=0, max_value=(1 << 36) - 1),
+)
+def test_utf8_number_roundtrip_property(n):
+    from easy_etl_spark.operators.flaccodec import _BitReader, _utf8_number
+
+    data = _utf8_number(n)
+    assert _BitReader(data).read_utf8_number() == n
+
+
+@settings(**_HSET)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    block_size=st.sampled_from([16, 100, 192, 256, 333]),
+    subframe=st.sampled_from(["auto", "verbatim", "lpc"]),
+)
+def test_flac_roundtrip_property_mono16(samples, block_size, subframe):
+    import numpy as np
+
+    s = np.array(samples, dtype=np.int64)
+    data = encode_flac(s, block_size=block_size, subframe=subframe)
+    dec, _ = decode_flac(data)
+    assert (dec[:, 0] == s).all()
+
+
+@settings(**_HSET)
+@given(
+    left=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=4, max_size=120
+    ),
+    stereo=st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+)
+def test_flac_roundtrip_property_stereo(left, stereo):
+    import numpy as np
+
+    l = np.array(left, dtype=np.int64)
+    r = (l // 2) - 7  # correlated but not equal
+    st2 = np.stack([l, r], axis=1)
+    dec, _ = decode_flac(encode_flac(st2, stereo=stereo, block_size=64))
+    assert (dec == st2).all()
