@@ -245,3 +245,138 @@ def gram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram key; the per-doc rollup is the only other shuffle — no
     all-pairs comparison, no corpus-sized broadcast."""
     return gram_novelty(load_table(spark, sf_dir, "documents"), n=8)
+
+
+from pyspark.sql import Window  # noqa: E402
+
+from .operators.sampling import md5_uniform  # noqa: E402
+
+
+@register(
+    "feature_matrix_pit",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           CAST(count(*) OVER wprev AS BIGINT) AS n_prior_orders,
+           CAST(coalesce(sum(cents) OVER wprev, 0) AS BIGINT) AS prior_rev_cents,
+           CAST(date_diff('day', CAST(lag(o_orderdate) OVER wo AS DATE),
+                          CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+           cents AS label_cents
+    FROM o
+    WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wprev AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+)
+def feature_matrix_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training matrix (the feature-store backfill
+    pattern): one row per order with features computed ONLY from that
+    customer's strictly-earlier history — prior order count, prior
+    revenue cents, days since the previous order — plus the label.
+    Leakage-correctness is the whole point: the frame ends at 1
+    PRECEDING, so no feature ever sees its own label's row (the as-of
+    discipline train/serve skew audits demand).
+
+    Scale: every window is PARTITIONED BY customer with bounded
+    per-entity frames — no global sort, shuffle keyed on the entity
+    exactly once; revenue stays integer cents end-to-end."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.count(F.lit(1)).over(wprev).alias("n_prior_orders"),
+        F.coalesce(F.sum("cents").over(wprev), F.lit(0)).alias("prior_rev_cents"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(wo),
+        ).alias("days_since_prev"),
+        F.col("cents").alias("label_cents"),
+    )
+
+
+@register(
+    "contrastive_negatives",
+    """
+    WITH a AS (
+      SELECT doc_id AS anchor_id, source AS a_src
+      FROM documents WHERE doc_id < 30
+    ),
+    p AS (
+      SELECT doc_id AS neg_id, source AS n_src FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 50 = 0
+    ),
+    c AS (
+      SELECT anchor_id, neg_id,
+             ('0x' || substr(md5(concat_ws('-',
+                 CAST(anchor_id AS VARCHAR),
+                 CAST(neg_id AS VARCHAR))), 1, 8))::BIGINT AS rk
+      FROM a JOIN p ON a_src <> n_src
+    )
+    SELECT anchor_id, neg_id, CAST(rn AS INTEGER) AS neg_rank
+    FROM (
+      SELECT anchor_id, neg_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY rk, neg_id) AS rn
+      FROM c
+    )
+    WHERE rn <= 3
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: per
+    anchor doc, 3 negatives drawn from a BOUNDED md5-hash candidate
+    pool (2% of the corpus), restricted to a different source and
+    ranked by a portable per-pair md5 — replayable, seedless, and
+    stable across engines/retries (the property that makes training
+    runs reproducible).
+
+    Scale: the pool is hash-sampled to a bounded size BEFORE any join
+    (no anchor x corpus blow-up) and broadcast; the per-anchor rank
+    window is pool-sized. Swap the pool rate, per-source caps, or a
+    hard-negative scorer in without touching the shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("a_src")
+    )
+    pool = docs.filter(md5_uniform(F.col("doc_id"), 50) == 0).select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("n_src")
+    )
+    rk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = anchors.join(
+        F.broadcast(pool), F.col("a_src") != F.col("n_src")
+    ).withColumn("rk", rk)
+    w = Window.partitionBy("anchor_id").orderBy("rk", "neg_id")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select("anchor_id", "neg_id", F.col("neg_rank").cast("int"))
+    )
