@@ -85,3 +85,19 @@ def test_global_prior_max_single_partition_input(spark):
     df = spark.createDataFrame([Row(k=1, v=5), Row(k=2, v=3), Row(k=3, v=9)])
     got = {r.k: r.prior_max for r in global_prior_max(df, "v", [F.col("k")]).collect()}
     assert got == {1: None, 2: 5, 3: 5}
+
+
+def test_global_row_number_null_keys_match_window(spark):
+    """NULL order keys: RangePartitioner and Window.orderBy use the
+    same SortOrder null placement (nulls first asc, last desc) — the
+    banded rank must agree with the window form in both directions."""
+    rows = [Row(k=i, v=(None if i % 7 == 0 else i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+    for order in ("asc", "desc"):
+        cols = [F.col("v") if order == "asc" else F.col("v").desc(), F.col("k")]
+        banded = global_row_number(df, cols, num_partitions=4)
+        w = Window.orderBy(*cols)
+        expect = {
+            r.k: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        assert {r.k: r.rn for r in banded.collect()} == expect, order
