@@ -204,7 +204,13 @@ class EtlPipeline:
         else:
             sink.append(df, ensure=ensure, safe=safe)
         wall = time.monotonic() - t0
-        rows = int(obs.get["rows_loaded"])
+        try:
+            rows = int(obs.get["rows_loaded"])
+        except Exception:
+            # non-SQL write paths (the JDBC writer runs the plan via
+            # df.rdd.foreachPartition) never complete the CollectMetrics
+            # row; fall back to one extra count over the same plan
+            rows = df.count()
         self.last_load_metrics = {
             "rows_loaded": rows,
             "wall_seconds": round(wall, 3),
