@@ -1079,3 +1079,66 @@ def synth_neardup_png_images(
         .filter(F.col("doc_id") < max_docs)
         .mapInPandas(run, "doc_id bigint, media binary")
     )
+
+
+def synth_group_wav_audio(docs: DataFrame, max_docs: int = 60) -> DataFrame:
+    """Near-duplicate WAV fixture: three base waveforms (doc_id % 3),
+    each doc perturbing ONE 32-sample window (+512) at a doc-derived
+    position — so same-group docs share identical energies on every
+    unperturbed window and an exact inverted-index join finds them.
+    16-bit mono RIFF/WAVE, 256 samples; fully SQL-replayable."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                g, w0 = doc_id % 3, doc_id % 8
+                i = np.arange(256, dtype="int64")
+                s = ((g * 53 + i * 29) % 4096) - 2048
+                s = s + np.where(i // 32 == w0, 512, 0)
+                out["doc_id"].append(doc_id)
+                out["media"].append(encode_wav(s, bits=16))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < max_docs)
+        .mapInPandas(run, "doc_id bigint, media binary")
+    )
+
+
+def audio_fingerprint_pairs(
+    energies: DataFrame, n_windows: int, min_match: int
+) -> DataFrame:
+    """Audio near-dup pairs from a windowed-energy table (doc_id, win,
+    energy): candidates via an INVERTED-INDEX equi-join on the exact
+    (window, energy) key — never an all-pairs comparison — then keep
+    pairs agreeing on at least ``min_match`` windows. The audio twin
+    of the dHash band join: at 100 TB the per-window fingerprint table
+    is tiny next to the media, and the join is keyed equi-work only."""
+    e = energies.select("doc_id", "win", "energy")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.energy") == F.col("b.energy"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") >= min_match)
+        .withColumn("n_windows", F.lit(n_windows).cast("bigint"))
+    )

@@ -380,3 +380,45 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 3)
         .select("anchor_id", "neg_id", F.col("neg_rank").cast("int"))
     )
+
+
+@register(
+    "audio_fingerprint_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS g, doc_id % 8 AS w0
+      FROM documents WHERE doc_id < 60
+    ),
+    idx AS (SELECT doc_id, g, w0, unnest(range(256)) AS i FROM d),
+    s AS (
+      SELECT doc_id, i // 32 AS win,
+             ((g * 53 + i * 29) % 4096) - 2048
+             + CASE WHEN i // 32 = w0 THEN 512 ELSE 0 END AS v
+      FROM idx
+    ),
+    e AS (SELECT doc_id, win, CAST(sum(v * v) AS BIGINT) AS energy
+          FROM s GROUP BY 1, 2),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_match
+      FROM e a JOIN e b
+        ON a.win = b.win AND a.energy = b.energy AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_match, CAST(8 AS BIGINT) AS n_windows
+    FROM m WHERE n_match >= 6
+    """,
+)
+def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection over REAL decoded audio: synth
+    grouped 16-bit WAVs (three base waveforms, one perturbed window
+    per doc), decode with the native RIFF/WAVE codec, fingerprint each
+    32-sample window by its exact integer energy, and find pairs
+    agreeing on >= 6 of 8 windows via an inverted-index (window,
+    energy) equi-join — the audio twin of image_dhash_pairs, and like
+    it the oracle replays samples -> windows -> energies -> pairs in
+    pure integer SQL, so any decode or windowing error moves the pair
+    set. No all-pairs comparison anywhere: candidates come keyed."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_group_wav_audio(docs, max_docs=60)
+    en = multimodal.wav_window_energy(media, window=32)
+    return multimodal.audio_fingerprint_pairs(en, n_windows=8, min_match=6)
