@@ -422,3 +422,94 @@ def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_group_wav_audio(docs, max_docs=60)
     en = multimodal.wav_window_energy(media, window=32)
     return multimodal.audio_fingerprint_pairs(en, n_windows=8, min_match=6)
+
+
+@register(
+    "psi_feature_drift",
+    """
+    WITH o AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                  THEN 'base' ELSE 'target' END AS period
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT least(9, cents // 5000000) AS bucket, period FROM o
+    ),
+    counts AS (
+      SELECT g.b AS bucket,
+             CAST(coalesce(sum(CASE WHEN period = 'base' THEN 1 END), 0)
+                  AS BIGINT) AS n_base,
+             CAST(coalesce(sum(CASE WHEN period = 'target' THEN 1 END), 0)
+                  AS BIGINT) AS n_target
+      FROM UNNEST(generate_series(0, 9)) AS g(b)
+      LEFT JOIN bucketed ON bucketed.bucket = g.b
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_base) AS tb, sum(n_target) AS tt FROM counts)
+    SELECT bucket, n_base, n_target,
+           round((CAST(n_base + 1 AS DOUBLE) / (tb + 10)
+                  - CAST(n_target + 1 AS DOUBLE) / (tt + 10))
+                 * ln((CAST(n_base + 1 AS DOUBLE) / (tb + 10))
+                      / (CAST(n_target + 1 AS DOUBLE) / (tt + 10))) + 0.0,
+                 6) AS psi_contrib
+    FROM counts, tot
+    """,
+)
+def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per bucket — the standard production
+    feature-drift monitor: order value distribution in a base period
+    vs a target period over 10 fixed-width buckets, add-one smoothed
+    (integer counts, so the smoothed shares are rationals of integers
+    and both engines feed ln identical doubles — the unigram_logprob
+    exactness pattern). Sum psi_contrib >= 0.2 is the usual alarm.
+
+    Scale: one map-side-combined bucket x period count (20 rows), a
+    10-row scaffold join so empty buckets participate, broadcast
+    totals — nothing beyond the initial aggregate touches data."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"),
+            F.lit("base"),
+        )
+        .otherwise(F.lit("target"))
+        .alias("period"),
+    )
+    counts = (
+        o.select(
+            F.least(F.lit(9), F.floor(F.col("cents") / 5000000)).alias("bucket"),
+            "period",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("period") == "base", 1)), F.lit(0)
+            ).alias("n_base"),
+            F.coalesce(
+                F.sum(F.when(F.col("period") == "target", 1)), F.lit(0)
+            ).alias("n_target"),
+        )
+    )
+    scaffold = spark.range(10).select(F.col("id").alias("bucket"))
+    full = (
+        scaffold.join(F.broadcast(counts), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_target", F.lit(0)).alias("n_target"),
+        )
+    )
+    tot = full.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_target").alias("tt")
+    )
+    p = (F.col("n_base") + 1).cast("double") / (F.col("tb") + 10)
+    q = (F.col("n_target") + 1).cast("double") / (F.col("tt") + 10)
+    return full.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_base",
+        "n_target",
+        F.round((p - q) * F.log(p / q) + F.lit(0.0), 6).alias("psi_contrib"),
+    )
