@@ -1142,3 +1142,56 @@ def audio_fingerprint_pairs(
         .filter(F.col("n_match") >= min_match)
         .withColumn("n_windows", F.lit(n_windows).cast("bigint"))
     )
+
+
+def dhash_cross_dups(
+    index_hashes: DataFrame,
+    new_hashes: DataFrame,
+    max_hamming: int = 4,
+    band_bits: int = 8,
+    n_bands: int = 7,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """New-vs-index near-dup check (the incremental-ingest shape): new
+    ids whose dHash is within ``max_hamming`` of ANY already-indexed
+    hash. Unlike dhash_near_dup_pairs this is a CROSS-frame banded
+    join with no id-ordering predicate, so a replayed blob (same id,
+    same hash) still matches its landed twin. Returns distinct
+    (new_id) rows."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding is only complete for max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands})"
+        )
+    mask = (1 << band_bits) - 1
+
+    def banded(df, nm):
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright(F.col(hash_col), band_bits * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("v"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{nm}_id"),
+            F.col(hash_col).alias(f"{nm}_h"),
+            F.explode(bands).alias("bd"),
+        ).select(f"{nm}_id", f"{nm}_h", "bd.b", "bd.v")
+
+    cand = (
+        banded(new_hashes, "new")
+        .join(banded(index_hashes, "idx"), ["b", "v"])
+        .dropDuplicates(["new_id", "idx_id"])
+    )
+    ham = F.bit_count(F.col("new_h").bitwiseXOR(F.col("idx_h")))
+    return (
+        cand.filter(ham <= max_hamming)
+        .select(F.col("new_id").alias("new_id"))
+        .distinct()
+    )

@@ -330,3 +330,58 @@ def foreach_batch_dedup_ingest(
     return stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint
     ).trigger(availableNow=True)
+
+
+def foreach_batch_image_dedup_ingest(
+    media_stream: DataFrame,
+    sink,
+    checkpoint: str,
+    max_hamming: int = 4,
+    id_col: str = "doc_id",
+) -> DataStreamWriter:
+    """Continuous IMAGE ingestion with perceptual dedup — the
+    multimodal twin of foreach_batch_dedup_ingest: every micro-batch
+    of (doc_id, media) blobs is (1) dHash-fingerprinted with the
+    native decoders (operators/multimodal.dhash_images — per-partition
+    mapInPandas, blobs never shuffle), (2) self-deduplicated (min-id
+    survivor per within-batch near-dup pair set), and (3) checked
+    against the ALREADY LANDED fingerprints via the banded Hamming
+    join — only perceptually novel images append, stored WITH their
+    hash so the landed table IS the fingerprint index and per-trigger
+    cost tracks the batch, never the corpus."""
+    from ..operators.multimodal import (
+        dhash_cross_dups,
+        dhash_images,
+        dhash_near_dup_pairs,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.join(dhash_images(batch_df), id_col)
+        # intra-batch: keep the min-id side of every near-dup pair
+        pairs = dhash_near_dup_pairs(
+            batch.select(id_col, "dhash"), max_hamming=max_hamming
+        )
+        batch = batch.join(
+            pairs.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        base = sink.read()
+        if base is not None:
+            # new-vs-index candidates ride the cross-frame banded join
+            # (no id-ordering predicate, so a replayed blob still
+            # matches its landed twin — replay converges)
+            dup_new = dhash_cross_dups(
+                base.select(F.col(id_col), F.col("dhash")),
+                batch.select(id_col, "dhash"),
+                max_hamming=max_hamming,
+            ).withColumnRenamed("new_id", id_col)
+            batch = batch.join(dup_new, id_col, "left_anti")
+        if not batch.isEmpty():
+            sink.append(batch, safe=True)
+
+    return media_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    ).trigger(availableNow=True)

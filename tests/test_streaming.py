@@ -473,3 +473,48 @@ def test_streaming_interval_join_left_outer_matches_batch(spark, sf_dir, tmp_pat
     }
     assert got == batch and got
     assert any(r[2] is None for r in got), "no null rows flushed"
+
+
+def test_streaming_image_dedup_ingest_lands_only_novel(spark, sf_dir, tmp_path):
+    """Continuous image ingestion: after streaming near-dup PNGs in two
+    micro-batches through foreach_batch_image_dedup_ingest, the landed
+    table is pairwise perceptually-distinct (no dHash pair within the
+    threshold) and every landed row carries its fingerprint."""
+    from easy_etl_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+        synth_neardup_png_images,
+    )
+    from easy_etl_spark.session import load_table
+    from easy_etl_spark.sources.sinks import ParquetSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_neardup_png_images(docs, max_docs=40)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    media.filter(F.col("doc_id") < 20).coalesce(1).write.parquet(str(d / "a.parquet"))
+    media.filter(F.col("doc_id") >= 20).coalesce(1).write.parquet(str(d / "b.parquet"))
+    sink = ParquetSink(spark, str(tmp_path / "landed"))
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("doc_id bigint, media binary")
+        .parquet(str(d) + "/*.parquet")
+    )
+    writer = jobs.foreach_batch_image_dedup_ingest(
+        stream, sink, checkpoint=str(tmp_path / "ckpt"), max_hamming=4
+    )
+    writer.start().awaitTermination()
+    landed = sink.read()
+    assert landed is not None and "dhash" in landed.columns
+    n = landed.count()
+    assert 0 < n < 40, f"dedup did nothing (landed {n}/40)"
+    # landed set is pairwise distinct under the same threshold
+    leftover = dhash_near_dup_pairs(
+        landed.select("doc_id", "dhash"), max_hamming=4
+    ).count()
+    assert leftover == 0, f"{leftover} near-dup pairs survived ingestion"
+    # replaying the same files through a fresh query converges (no new rows)
+    writer2 = jobs.foreach_batch_image_dedup_ingest(
+        stream, sink, checkpoint=str(tmp_path / "ckpt2"), max_hamming=4
+    )
+    writer2.start().awaitTermination()
+    assert sink.read().count() == n
