@@ -207,3 +207,32 @@ def test_flac_roundtrip_property_stereo(left, stereo):
     st2 = np.stack([l, r], axis=1)
     dec, _ = decode_flac(encode_flac(st2, stereo=stereo, block_size=64))
     assert (dec == st2).all()
+
+
+def test_vectorized_decode_bit_identical_to_scalar(monkeypatch):
+    """The numpy fast paths (Rice chain walk, payload gather, raw
+    escape, verbatim gather, cumsum un-difference) must reproduce the
+    scalar reference reader bit-for-bit on streams exercising every
+    path."""
+    import easy_etl_spark.operators.flaccodec as fc
+
+    rng = np.random.RandomState(77)
+    streams = [
+        encode_flac(np.cumsum(rng.randint(-9, 10, 1500)), block_size=192),
+        encode_flac(rng.randint(-32768, 32768, 900), block_size=256),  # escapes
+        encode_flac(np.cumsum(rng.randint(-3, 4, 800)), subframe="lpc",
+                    block_size=128),
+        encode_flac(rng.randint(-32768, 32768, 400), subframe="verbatim",
+                    block_size=100),
+        encode_flac(
+            np.stack([np.cumsum(rng.randint(-5, 6, 600))] * 2, axis=1)
+            + rng.randint(-2, 3, (600, 2)),
+            stereo="mid_side", block_size=150,
+        ),
+    ]
+    for i, data in enumerate(streams):
+        fast_out, _ = decode_flac(data)
+        monkeypatch.setattr(fc, "_VECTORIZED", False)
+        slow_out, _ = decode_flac(data)
+        monkeypatch.setattr(fc, "_VECTORIZED", True)
+        assert (fast_out == slow_out).all(), f"stream {i} diverged"
