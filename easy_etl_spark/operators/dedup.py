@@ -93,8 +93,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, via inverted-
     index self-join (pairs only materialize for docs sharing ≥1
-    shingle). Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    idx = _shingle_index(docs, text_col, id_col, k)
+    shingle). Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The shingle index feeds THREE consumers (both self-join sides and
+    the per-doc sizes) — tracked-cached so the tokenize+explode+distinct
+    work runs once, not three times (release via session.release_caches)."""
+    idx = track_cache(_shingle_index(docs, text_col, id_col, k))
     sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (
