@@ -665,3 +665,61 @@ def pca_project(
             yield pd.DataFrame(out)
 
     return emb.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
+def semantic_dedup_int(
+    emb: DataFrame,
+    d2_threshold: int,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication, integer-exact: coarse-
+    quantize every vector into an IVF cell (pinned lowest-id seeds,
+    argmin integer-d² assignment — the int_ivf_neighbors plumbing),
+    then WITHIN each cell mark pairs closer than ``d2_threshold`` and
+    keep only vectors with no sub-threshold neighbor of smaller id.
+    Returns (vec_id, cell, kept).
+
+    This is the embedding-space analog of the minhash near-dup pass:
+    semantically redundant training examples (paraphrases, templated
+    boilerplate, re-crawls) cluster tightly in embedding space, and
+    pruning them per cell keeps the candidate set to Σ|cell|² instead
+    of |corpus|² — at 100 TB the cells are the same partition-bounded
+    buckets the ANN index already maintains, so dedup rides the
+    existing index. Every decision (quantize, assign, d², survivor) is
+    integer arithmetic a SQL oracle replays bit-for-bit."""
+    corpus = emb.select(F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q"))
+    seeds = corpus.orderBy("__id").limit(n_lists).collect()
+    cents = [list(r["__q"]) for r in seeds]
+
+    def cell(vec: Column) -> Column:
+        alts = [
+            F.struct(
+                _d2_int(vec, F.array(*[F.lit(int(c)) for c in cent])).alias("d2"),
+                F.lit(i).alias("c"),
+            )
+            for i, cent in enumerate(cents)
+        ]
+        return F.array_min(F.array(*alts))["c"]
+
+    assigned = corpus.withColumn("__cell", cell(F.col("__q")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(_d2_int(F.col("a.__q"), F.col("b.__q")) <= d2_threshold)
+        .select(F.col("b.__id").alias("__loser"))
+        .distinct()
+    )
+    return (
+        assigned.join(losers, assigned.__id == losers.__loser, "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").cast("int").alias("cell"),
+            F.col("__loser").isNull().alias("kept"),
+        )
+    )

@@ -593,3 +593,58 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_incidents", F.lit(0)).cast("bigint").alias("n_incidents"),
         )
     )
+
+
+_SD_QV = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+)
+_SD_D2 = (
+    "CAST(list_sum(list_zip({a}, {b}).apply(p -> (p[1]-p[2])*(p[1]-p[2])))"
+    " AS BIGINT)"
+)
+_SD_T = 1_100_000_000_000
+
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH v AS (SELECT vec_id, {_SD_QV} AS q FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cq
+      FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 8)
+    ),
+    dist AS (
+      SELECT v.vec_id, v.q, cent.c, {_SD_D2.format(a="v.q", b="cent.cq")} AS d2
+      FROM v, cent
+    ),
+    assign AS (
+      SELECT vec_id, q, c AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    losers AS (
+      SELECT DISTINCT b.vec_id AS loser
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_SD_D2.format(a="a.q", b="b.q")} <= {_SD_T}
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+           vec_id NOT IN (SELECT loser FROM losers) AS kept
+    FROM assign
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (operators/similarity.semantic_dedup_int): IVF-cell coarse
+    quantization bounds candidates to within-cell pairs, integer-d²
+    threshold marks redundant vectors, min-id survivor kept — the
+    embedding-space member of the dedup family, riding the same
+    pinned-seed integer-exact machinery as knn_ivf_int so the DuckDB
+    oracle replays quantize -> assign -> pairs -> survivors
+    bit-for-bit."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_int(emb, d2_threshold=_SD_T, n_lists=8)
