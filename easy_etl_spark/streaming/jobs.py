@@ -326,6 +326,11 @@ def foreach_batch_dedup_ingest(
             batch = batch.join(dup_new, id_col, "left_anti")
         if not batch.isEmpty():
             sink.append(batch, safe=True)
+        # the pair generator tracked-caches its shingle index; release
+        # per batch so an unbounded stream never accumulates storage
+        from ..session import release_caches
+
+        release_caches()
 
     return stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint
