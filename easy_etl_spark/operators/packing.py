@@ -18,15 +18,23 @@ the same partition-offset scheme as ``sources.sinks.dense_ids``
    where the only window is PARTITION BY the partition id —
    embarrassingly parallel.
 
-Requires a deterministic input plan (evaluated twice); parquet-backed
-lineage qualifies. Beyond the reference's surface (exit99/easy-etl has
-no text pipeline); part of the BASELINE.json north-star extension set.
+The range-partitioned frame is PERSISTED (tracked; see
+session.release_caches) before the stats pass — load-bearing, not an
+optimization: RangePartitioner's boundary sampling is seeded by the
+physical RDD id, so two separate actions over an unpersisted plan can
+draw DIFFERENT boundaries once partitions exceed the sample size, and
+the driver-side prefix sums would misalign with the second pass's
+partitions (see operators/ranking.py for the full account). Beyond
+the reference's surface (exit99/easy-etl has no text pipeline); part
+of the BASELINE.json north-star extension set.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..session import track_cache
 
 
 def global_running_offset(
@@ -43,8 +51,10 @@ def global_running_offset(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    part = track_cache(
+        df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     stats = (
         part.groupBy("__pid")

@@ -21,11 +21,17 @@ scheme as ``operators.packing.global_running_offset`` /
 Correctness notes:
   - equal keys land in one partition (RangePartitioner binary-searches
     boundary values), so ties never straddle an offset boundary;
-  - the input plan is evaluated twice (offsets pass + final pass) and
-    must be deterministic — parquet-backed lineage qualifies;
-  - the range boundaries come from deterministic per-partition
-    reservoir sampling (seed = f(partition id)), so both evaluations
-    see the same partitioning.
+  - the range-partitioned frame is PERSISTED (tracked — see
+    session.release_caches) before the offsets pass. This is
+    load-bearing, not an optimization: RangePartitioner's reservoir
+    sampling is seeded by the physical RDD id, so two separate actions
+    over an unpersisted plan instantiate DIFFERENT boundaries whenever
+    a partition holds more rows than the sample size — offsets from
+    pass one would then misalign with pass two's partitions, yielding
+    duplicate/skipped ranks (reproduced on a raw 15k-row scan; small
+    aggregated frames only escape because the sampler takes every
+    row). Persisting pins ONE instantiation; even a cache-evicted
+    block recomputes through the same RDD and lands identically.
 
 Reference parity: the reference delegates ranking wholesale to its
 source database (easy_etl/README.md:18); these are the scale-path
@@ -37,14 +43,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import track_cache
+
 
 def _banded(df: DataFrame, order_by: list[Column], num_partitions: int | None):
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    return df.repartitionByRange(num_partitions, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
+    # persist is LOAD-BEARING: it pins one physical instantiation of the
+    # sampled range boundaries for both the offsets pass and the final
+    # pass (see module docstring)
+    return track_cache(
+        df.repartitionByRange(num_partitions, *order_by).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
 
 

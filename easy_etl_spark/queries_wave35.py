@@ -249,6 +249,7 @@ def gram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from pyspark.sql import Window  # noqa: E402
 
+from .operators.ranking import global_row_number  # noqa: E402
 from .operators.sampling import md5_uniform  # noqa: E402
 
 
@@ -648,3 +649,95 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup_int(emb, d2_threshold=_SD_T, n_lists=8)
+
+
+@register(
+    "classifier_calibration",
+    """
+    WITH scored AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT least(9, s // 5000) AS bucket,
+           count(*) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS avg_score_cents,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+    FROM scored GROUP BY 1
+    """,
+)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability curve for the classifier_eval score:
+    10 fixed-width score bins, each reporting mean predicted score and
+    empirical positive rate — the reliability-diagram table model
+    monitoring plots (a well-calibrated scorer tracks the diagonal).
+    One map-side-combined aggregate; integers until the final
+    divisions, same exactness posture as classifier_eval."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return (
+        scored.groupBy(F.least(F.lit(9), F.floor(F.col("s") / 5000)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_score_cents"
+            ),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "pos_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "equi_depth_histogram",
+    """
+    WITH o AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM o
+    )
+    SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(cents) AS lo_cents,
+           max(cents) AS hi_cents
+    FROM r GROUP BY 1
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (10-bucket) histogram of order values — the
+    boundary statistics an optimizer / data profiler collects, computed
+    with EXACT ranks rather than approxQuantile. Second consumer of the
+    banded global_row_number (operators/ranking.py): range-partitioned
+    rank + broadcast prefix offsets, total count free from the offsets
+    pass — no single-partition sort at any cardinality."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    ranked, total = global_row_number(
+        o, [F.col("cents"), F.col("o_orderkey")], out_col="rn", with_total=True
+    )
+    return (
+        ranked.groupBy(
+            F.floor((F.col("rn") - 1) * 10 / F.lit(total)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )

@@ -101,3 +101,31 @@ def test_global_row_number_null_keys_match_window(spark):
             r.k: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()
         }
         assert {r.k: r.rn for r in banded.collect()} == expect, order
+
+
+def test_banded_rank_deterministic_on_large_raw_scan(spark, tmp_path):
+    """Regression: RangePartitioner's boundary sampling is seeded by
+    the physical RDD id, so the offsets pass and the final pass of an
+    UNPERSISTED banded rank could draw different boundaries whenever a
+    partition holds more rows than the sample size — duplicate and
+    skipped ranks (reproduced on a raw 15k-row scan before _banded
+    pinned the frame with a tracked persist). The rank must be a
+    permutation of 1..n and stable across invocations."""
+    import random
+
+    from easy_etl_spark.session import release_caches
+
+    rng = random.Random(17)
+    rows = [(rng.randrange(10_000_000), i) for i in range(15000)]
+    spark.createDataFrame(rows, "v long, k long").repartition(2).write.parquet(
+        str(tmp_path / "raw")
+    )
+    df = spark.read.parquet(str(tmp_path / "raw"))
+    outs = []
+    for _ in range(2):
+        ranked = global_row_number(df, [F.col("v"), F.col("k")], num_partitions=16)
+        got = {r.k: r.rn for r in ranked.collect()}
+        assert sorted(got.values()) == list(range(1, 15001)), "ranks not a permutation"
+        outs.append(got)
+        release_caches()
+    assert outs[0] == outs[1], "rank assignment drifted between invocations"
