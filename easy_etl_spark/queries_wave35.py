@@ -741,3 +741,88 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+@register(
+    "attribution_time_decay",
+    """
+    WITH conv AS (
+      SELECT event_id AS cid, user_id, ts AS cts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT conv.cid, t.event_type AS channel,
+             CAST(1 AS BIGINT)
+               << CAST(20 - date_diff('day', CAST(t.ts AS DATE),
+                                      CAST(conv.cts AS DATE)) AS INTEGER)
+               AS units
+      FROM conv JOIN t
+        ON t.user_id = conv.user_id
+       AND t.ts < conv.cts
+       AND date_diff('day', CAST(t.ts AS DATE), CAST(conv.cts AS DATE))
+           BETWEEN 0 AND 20
+    ),
+    tot AS (SELECT CAST(sum(units) AS BIGINT) AS all_units FROM pairs)
+    SELECT channel,
+           count(*) AS n_touches,
+           CAST(sum(units) AS BIGINT) AS units,
+           round(CAST(sum(units) AS DOUBLE) / all_units, 6) AS share
+    FROM pairs, tot
+    GROUP BY channel, all_units
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay MULTI-touch attribution: every purchase credits each
+    of the user's preceding non-purchase touches within 20 days,
+    weighted by 2^(20 - days-before) — an INTEGER dyadic weight, so
+    the per-channel credit shares stay exact rationals until one final
+    division (no float halflife accumulation to drift between
+    engines). Complements attribution_touch's single-touch models.
+
+    Scale: the conversion x touch pairing is an equi-join on user_id
+    with a 20-day range residual — the events_interval_join shape, so
+    state and pair counts are bounded by the lookback window, never
+    |purchases| x |history|."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("channel")
+    )
+    dd = F.datediff(F.col("cts").cast("date"), F.col("ts").cast("date"))
+    pairs = (
+        conv.join(touches, (F.col("user_id") == F.col("cuid")) & (F.col("ts") < F.col("cts")))
+        .withColumn("dd", dd)
+        .filter((F.col("dd") >= 0) & (F.col("dd") <= 20))
+        .select(
+            "cid",
+            "channel",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - dd AS INT))").alias(
+                "units"
+            ),
+        )
+    )
+    tot = pairs.agg(F.sum("units").cast("bigint").alias("all_units"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .groupBy("channel", "all_units")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("units").cast("bigint").alias("units"),
+        )
+        .select(
+            "channel",
+            "n_touches",
+            "units",
+            F.round(F.col("units").cast("double") / F.col("all_units"), 6).alias(
+                "share"
+            ),
+        )
+    )
