@@ -826,3 +826,95 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+from .operators.packing import global_running_offset  # noqa: E402
+
+
+@register(
+    "ks_two_sample",
+    """
+    WITH o AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                  THEN 1 ELSE 0 END AS is_base
+      FROM orders
+    ),
+    per_v AS (
+      SELECT cents,
+             CAST(sum(is_base) AS BIGINT) AS nb,
+             CAST(sum(1 - is_base) AS BIGINT) AS nt
+      FROM o GROUP BY cents
+    ),
+    tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n_base,
+                   CAST(sum(nt) AS BIGINT) AS n_target FROM per_v),
+    cum AS (
+      SELECT cents,
+             CAST(sum(nb) OVER (ORDER BY cents) AS BIGINT) AS cb,
+             CAST(sum(nt) OVER (ORDER BY cents) AS BIGINT) AS ct
+      FROM per_v
+    ),
+    d AS (
+      SELECT cents, abs(cb * n_target - ct * n_base) AS dnum
+      FROM cum, tot
+    ),
+    best AS (SELECT cents, dnum FROM d ORDER BY dnum DESC, cents LIMIT 1)
+    SELECT n_base, n_target, best.cents AS at_cents,
+           round(CAST(dnum AS DOUBLE) / (n_base * n_target), 6) AS ks
+    FROM best, tot
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the base
+    and target periods' order-value distributions: KS = max over the
+    value domain of |ECDF_base - ECDF_target|, kept EXACT by comparing
+    the integer cross products |cum_base*n_target - cum_target*n_base|
+    and dividing once at the end. Complements psi_feature_drift
+    (binned, localization) with the classic distribution-free test.
+
+    Scale: the cumulative counts run through the BANDED global prefix
+    sum (packing.global_running_offset — third consumer) over the
+    distinct-value frame, so the CDF never funnels through one task
+    even when |distinct values| ~ |rows|; the argmax is a bounded-heap
+    TakeOrdered, and totals broadcast."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_base"),
+    )
+    per_v = o.groupBy("cents").agg(
+        F.sum("is_base").cast("bigint").alias("nb"),
+        F.sum(1 - F.col("is_base")).cast("bigint").alias("nt"),
+    )
+    tot = per_v.agg(
+        F.sum("nb").cast("bigint").alias("n_base"),
+        F.sum("nt").cast("bigint").alias("n_target"),
+    )
+    cb = global_running_offset(per_v, "nb", "cents", out_col="nb_excl")
+    both = global_running_offset(cb, "nt", "cents", out_col="nt_excl")
+    d = (
+        both.crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            "n_base",
+            "n_target",
+            F.abs(
+                (F.col("nb_excl") + F.col("nb")) * F.col("n_target")
+                - (F.col("nt_excl") + F.col("nt")) * F.col("n_base")
+            ).alias("dnum"),
+        )
+    )
+    best = d.orderBy(F.col("dnum").desc(), "cents").limit(1)
+    return best.select(
+        "n_base",
+        "n_target",
+        F.col("cents").alias("at_cents"),
+        F.round(
+            F.col("dnum").cast("double") / (F.col("n_base") * F.col("n_target")), 6
+        ).alias("ks"),
+    )
