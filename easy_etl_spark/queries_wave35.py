@@ -918,3 +918,60 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dnum").cast("double") / (F.col("n_base") * F.col("n_target")), 6
         ).alias("ks"),
     )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    tot AS (SELECT count(*) AS n FROM d)
+    SELECT digit,
+           count(*) AS n_obs,
+           round(CAST(count(*) AS DOUBLE) / n, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_share
+    FROM d, tot
+    GROUP BY digit, n
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the classic
+    fraud / synthetic-data smell test a data-quality suite runs over
+    monetary columns: observed first-significant-digit shares next to
+    the Benford expectation log10(1 + 1/d). First digits come from the
+    integer-cents string (no float log extraction to drift); shares
+    are one division; the expected shares are constants both engines
+    compute identically.
+
+    Scale: one map-side-combined 9-group aggregate plus a broadcast
+    total — a single pass at any size."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit", "n")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
+                "obs_share"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+        )
+    )
