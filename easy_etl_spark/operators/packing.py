@@ -18,10 +18,10 @@ the same partition-offset scheme as ``sources.sinks.dense_ids``
    where the only window is PARTITION BY the partition id —
    embarrassingly parallel.
 
-The range-partitioned frame is PERSISTED (tracked; see
-session.release_caches) before the stats pass — load-bearing, not an
+The range-partitioned frame is PINNED via eager localCheckpoint
+(session.pin_frame) before the stats pass — load-bearing, not an
 optimization: RangePartitioner's boundary sampling is seeded by the
-physical RDD id, so two separate actions over an unpersisted plan can
+physical RDD id, so two separate actions over an unpinned plan can
 draw DIFFERENT boundaries once partitions exceed the sample size, and
 the driver-side prefix sums would misalign with the second pass's
 partitions (see operators/ranking.py for the full account). Beyond
@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..session import track_cache
+from ..session import pin_frame
 
 
 def global_running_offset(
@@ -51,7 +51,11 @@ def global_running_offset(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = track_cache(
+    # pin_frame (eager localCheckpoint), not a releasable cache: the
+    # driver-side prefix sums below are only valid against THIS
+    # physical instantiation of the range boundaries (see
+    # operators/ranking.py for the full account)
+    part = pin_frame(
         df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
             "__pid", F.spark_partition_id()
         )

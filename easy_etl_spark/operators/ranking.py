@@ -21,17 +21,19 @@ scheme as ``operators.packing.global_running_offset`` /
 Correctness notes:
   - equal keys land in one partition (RangePartitioner binary-searches
     boundary values), so ties never straddle an offset boundary;
-  - the range-partitioned frame is PERSISTED (tracked — see
-    session.release_caches) before the offsets pass. This is
-    load-bearing, not an optimization: RangePartitioner's reservoir
+  - the range-partitioned frame is PINNED via an eager
+    localCheckpoint (session.pin_frame) before the offsets pass. This
+    is load-bearing, not an optimization: RangePartitioner's reservoir
     sampling is seeded by the physical RDD id, so two separate actions
-    over an unpersisted plan instantiate DIFFERENT boundaries whenever
+    over an unpinned plan instantiate DIFFERENT boundaries whenever
     a partition holds more rows than the sample size — offsets from
     pass one would then misalign with pass two's partitions, yielding
     duplicate/skipped ranks (reproduced on a raw 15k-row scan; small
     aggregated frames only escape because the sampler takes every
-    row). Persisting pins ONE instantiation; even a cache-evicted
-    block recomputes through the same RDD and lands identically.
+    row). localCheckpoint materializes ONE instantiation and truncates
+    lineage, so no later event — cache eviction, an intervening
+    session.release_caches(), a re-plan — can ever re-draw the
+    boundaries; the blocks are GC-reclaimed when the frame dies.
 
 Reference parity: the reference delegates ranking wholesale to its
 source database (easy_etl/README.md:18); these are the scale-path
@@ -43,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..session import track_cache
+from ..session import pin_frame
 
 
 def _banded(df: DataFrame, order_by: list[Column], num_partitions: int | None):
@@ -51,10 +53,12 @@ def _banded(df: DataFrame, order_by: list[Column], num_partitions: int | None):
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    # persist is LOAD-BEARING: it pins one physical instantiation of the
-    # sampled range boundaries for both the offsets pass and the final
-    # pass (see module docstring)
-    return track_cache(
+    # pin_frame (eager localCheckpoint) is LOAD-BEARING: it materializes
+    # ONE physical instantiation of the sampled range boundaries and
+    # truncates lineage, so neither cache eviction nor a stray
+    # release_caches() between the offsets pass and the consuming
+    # action can re-draw boundaries (see module docstring)
+    return pin_frame(
         df.repartitionByRange(num_partitions, *order_by).withColumn(
             "__pid", F.spark_partition_id()
         )

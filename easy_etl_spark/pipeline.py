@@ -196,21 +196,32 @@ class EtlPipeline:
             }
             self._reset()
             return
-        obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows_loaded"))
+        pre_rows: int | None = None
+        if getattr(sink, "observes_writes", True):
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows_loaded"))
+        else:
+            # sinks whose writer never completes a CollectMetrics row
+            # (JDBC runs the plan via rdd.foreachPartition) are counted
+            # ONCE, BEFORE the load: a recount afterwards would re-read
+            # the extract source, and for a read-modify-write pipeline
+            # (JDBC extract from the table being loaded) that second
+            # read observes post-load state and misreports the count
+            obs = None
+            pre_rows = df.count()
         t0 = time.monotonic()
         if upsert_fields:
             sink.upsert(df, upsert_fields, ensure=ensure, safe=safe)
         else:
             sink.append(df, ensure=ensure, safe=safe)
         wall = time.monotonic() - t0
-        try:
-            rows = int(obs.get["rows_loaded"])
-        except Exception:
-            # non-SQL write paths (the JDBC writer runs the plan via
-            # df.rdd.foreachPartition) never complete the CollectMetrics
-            # row; fall back to one extra count over the same plan
-            rows = df.count()
+        if obs is not None:
+            try:
+                rows = int(obs.get["rows_loaded"])
+            except Exception:
+                rows = df.count()
+        else:
+            rows = pre_rows
         self.last_load_metrics = {
             "rows_loaded": rows,
             "wall_seconds": round(wall, 3),

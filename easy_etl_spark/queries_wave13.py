@@ -114,10 +114,13 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric machinery is what's under test, not the model.
 
     Scale: rows collapse to one group per DISTINCT score before any
-    ranking, so the cumulative window runs over the score domain, not
-    the facts (for an unbounded domain, range-partition the scores and
-    prefix-merge per-partition counts — packing.global_running_offset).
+    ranking, and the cumulative count-below is the BANDED exclusive
+    prefix sum (packing.global_running_offset) — range-partitioned
+    scores, driver-side prefix-merge of numPartitions partials, no
+    single-partition sort even for an unbounded score domain.
     Everything else is one aggregate."""
+    from .operators.packing import global_running_offset
+
     e = _t(spark, sf_dir, "events")
     scored = e.select(
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("s"),
@@ -126,10 +129,7 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_score = scored.groupBy("s").agg(
         F.count(F.lit(1)).alias("c"), F.sum("y").alias("pos")
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_score.withColumn(
-        "c_less", F.coalesce(F.sum("c").over(w), F.lit(0))
-    )
+    cum = global_running_offset(per_score, "c", "s", out_col="c_less")
     hit = F.col("s") >= 25000
     agg = cum.agg(
         F.sum("pos").alias("n_pos"),

@@ -107,18 +107,28 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cross-multiplication (cum*100 >= pct*total), no
     float share.
 
-    Scale: token counting is map-side combined; the ranking window
-    runs over the VOCABULARY (bounded by language, not corpus). The
-    3-way fan-out rides the tiny ranked frame."""
+    Scale: token counting is map-side combined; rank and cumulative
+    coverage ride the BANDED global machinery (ranking.
+    global_row_number over (c desc, tok), then packing.
+    global_running_offset over the unique rank) — no single-partition
+    sort even when the vocabulary itself is huge. The 3-way fan-out
+    rides the ranked frame."""
+    from .operators.packing import global_running_offset
+    from .operators.ranking import global_row_number
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
-    w = Window.orderBy(F.col("c").desc(), "tok")
+    by_rank = global_row_number(
+        freq, [F.col("c").desc(), F.col("tok")], out_col="rnk"
+    )
+    # inclusive cumulative = exclusive banded prefix sum + own count
     ranked = (
-        freq.crossJoin(F.broadcast(total))
-        .withColumn("rnk", F.row_number().over(w))
-        .withColumn("cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        global_running_offset(by_rank, "c", "rnk", out_col="_ofs")
+        .withColumn("cum", (F.col("_ofs") + F.col("c")).cast("long"))
+        .drop("_ofs")
+        .crossJoin(F.broadcast(total))
     )
     fanned = ranked.select(
         "rnk",

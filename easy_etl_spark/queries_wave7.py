@@ -539,10 +539,17 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(1000) * F.col("wq")) % F.col("w_all")).alias("rem"),
     )
     leftover = base.agg((F.lit(1000) - F.sum("floor_share")).cast("long").alias("lo"))
-    w = Window.orderBy(F.col("rem").desc(), "source")
+    from .operators.ranking import global_row_number
+
+    # largest-remainder rank is the BANDED global row_number — the
+    # per-source frame is dimension-sized today, but the plan carries
+    # no single-partition sort at any cardinality
     return (
-        base.crossJoin(F.broadcast(leftover))
-        .withColumn("rr", F.row_number().over(w))
+        global_row_number(
+            base.crossJoin(F.broadcast(leftover)),
+            [F.col("rem").desc(), F.col("source")],
+            out_col="rr",
+        )
         .select(
             "source",
             "n_docs",

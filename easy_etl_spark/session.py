@@ -187,18 +187,53 @@ _TRACKED_CACHE: list[DataFrame] = []
 
 
 def track_cache(df: DataFrame) -> DataFrame:
-    """persist() a DataFrame and register it for release_caches()."""
+    """persist() a DataFrame and register it for release_caches().
+
+    Only for PERFORMANCE caches (reuse of an expensive intermediate).
+    A persist whose physical instantiation is load-bearing for
+    correctness — e.g. a repartitionByRange frame whose sampled
+    boundaries were already used to derive driver-side offsets — must
+    use pin_frame() instead: a released performance cache merely
+    recomputes, a released correctness pin would re-plan with fresh
+    RangePartitioner boundaries and misalign the offsets."""
     _TRACKED_CACHE.append(df.persist())
     return df
 
 
-def release_caches() -> int:
-    """Blocking-unpersist every tracked cache entry; returns how many
-    were released. Safe to call at any time: un-materialized entries
-    simply drop their cache flag, and re-running an operator re-tracks
-    a fresh entry."""
+def pin_frame(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` once and TRUNCATE its lineage
+    (``localCheckpoint(eager=True)``) so the physical partitioning can
+    never be re-derived differently by a later action.
+
+    This is the correctness pin behind operators/ranking.py and
+    operators/packing.py: their repartitionByRange boundaries come
+    from an RDD-id-seeded reservoir sample, so any recomputation
+    (cache eviction, an unpersist between the offsets pass and the
+    consuming action) could draw DIFFERENT boundaries and corrupt the
+    banded ranks/prefix sums. After localCheckpoint there is no
+    lineage to re-run — every later action reads the same stored
+    blocks — and the blocks are reclaimed by the ContextCleaner when
+    the frame is garbage-collected, so release_caches() stays safe to
+    call at any time (it never touches pins)."""
+    return df.localCheckpoint(eager=True)
+
+
+def cache_mark() -> int:
+    """Current length of the tracked-cache registry. Pass it to
+    release_caches(since=...) to release only the entries an operator
+    added after the mark — a foreachBatch handler on a shared driver
+    must not unpersist caches owned by unrelated concurrent work."""
+    return len(_TRACKED_CACHE)
+
+
+def release_caches(since: int = 0) -> int:
+    """Blocking-unpersist tracked cache entries added at/after index
+    ``since`` (default 0 = everything); returns how many were
+    released. Safe to call at any time: every tracked entry is a pure
+    performance cache (correctness pins use pin_frame and are not in
+    this registry), so an early release merely recomputes."""
     n = 0
-    while _TRACKED_CACHE:
+    while len(_TRACKED_CACHE) > since:
         df = _TRACKED_CACHE.pop()
         try:
             df.unpersist(blocking=True)

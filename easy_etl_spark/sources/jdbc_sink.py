@@ -41,6 +41,13 @@ class JdbcSink:
     ensure/drop-sync/surrogate ids). Table names should be simple
     unquoted identifiers (stored uppercase by most engines)."""
 
+    # the JDBC writer runs the plan via rdd.foreachPartition, which
+    # never completes a CollectMetrics (Observation) row — the
+    # pipeline must pre-count for load metrics instead of observing
+    # (and must NOT recount after the load, when a read-modify-write
+    # extract would already see post-load state)
+    observes_writes = False
+
     def __init__(self, spark: SparkSession, url: str, table: str,
                  driver: str | None = None, id_col: str = "id"):
         self.spark = spark
@@ -70,14 +77,40 @@ class JdbcSink:
         finally:
             stmt.close()
 
-    def read(self) -> DataFrame | None:
-        """Current table state, or None if the table does not exist."""
+    def _table_exists(self, name: str | None = None) -> bool:
+        """True iff the table exists, checked via JDBC catalog metadata
+        (``DatabaseMetaData.getTables``) — NOT by catching a failed
+        read. A transient connection/auth error must raise here rather
+        than masquerade as 'table missing': append/upsert route a None
+        read into the create-fresh-table branch, which would replace
+        the real table with just the incoming batch once connectivity
+        recovers."""
+        name = name or self.table
+        conn = self._connection()
         try:
-            df = self._options(self.spark.read, self.table).load()
-            df.schema  # force resolution so a missing table fails HERE
-            return df
-        except Exception:
+            meta = conn.getMetaData()
+            # unquoted identifiers are stored case-folded per engine
+            for cand in dict.fromkeys((name.upper(), name, name.lower())):
+                rs = meta.getTables(None, None, cand, None)
+                try:
+                    if rs.next():
+                        return True
+                finally:
+                    rs.close()
+            return False
+        finally:
+            conn.close()
+
+    def read(self) -> DataFrame | None:
+        """Current table state, or None if the table does not exist.
+        Existence is decided by catalog metadata (_table_exists); any
+        other failure (connection blip, auth, timeout) PROPAGATES —
+        it must never be mistaken for an empty target."""
+        if not self._table_exists():
             return None
+        df = self._options(self.spark.read, self.table).load()
+        df.schema  # force resolution now, inside the exists-guard
+        return df
 
     # -- write protocol ----------------------------------------------
     def _swap_write(self, merged: DataFrame) -> None:
@@ -87,7 +120,7 @@ class JdbcSink:
         old = f"{self.table}__OLD{token}"
         conn = self._connection()
         try:
-            had_target = self.read() is not None
+            had_target = self._table_exists()
             try:
                 if had_target:
                     self._execute(conn, f"RENAME TABLE {self.table} TO {old}")
@@ -97,15 +130,29 @@ class JdbcSink:
                     if had_target:  # roll the old table back in
                         self._execute(conn, f"RENAME TABLE {old} TO {self.table}")
                     raise
-                if had_target:
-                    self._execute(conn, f"DROP TABLE {old}")
             except Exception:
-                # engine without RENAME TABLE: documented fallback —
-                # in-place overwrite (same non-transactional posture as
-                # the reference's own load loop)
-                self._options(merged.write, self.table).mode("overwrite").save()
+                # Engine without RENAME TABLE: documented fallback —
+                # in-place overwrite FROM THE MATERIALIZED STAGING
+                # TABLE. Never re-execute `merged` here: its plan
+                # lazily reads self.table (survivors/current), and
+                # Spark's JDBC overwrite drops the target before
+                # running the plan, so the self-referential scan would
+                # return zero rows and silently erase every
+                # pre-existing row. Staging is a frozen copy of the
+                # full merged state, so reading it back is both safe
+                # and equivalent.
+                frozen = self._options(self.spark.read, staging).load()
+                self._options(frozen.write, self.table).mode("overwrite").save()
+            # Post-swap scratch cleanup is best-effort and must NEVER
+            # route into the overwrite fallback: after a successful
+            # swap a failed DROP would otherwise re-write the already
+            # swapped table (duplicating rows/ids). On the success path
+            # `old` holds the pre-swap data and staging is gone (its
+            # DROP no-ops); on the fallback path staging still exists
+            # and `old` (if the rollback ran) is back under self.table.
+            for scratch in ((old,) if had_target else ()) + (staging,):
                 try:
-                    self._execute(conn, f"DROP TABLE {staging}")
+                    self._execute(conn, f"DROP TABLE {scratch}")
                 except Exception:
                     pass
         finally:

@@ -309,6 +309,14 @@ def foreach_batch_dedup_ingest(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # snapshot the registry so the per-batch release below frees
+        # ONLY caches this handler created — the registry is
+        # session-global, and a blanket release_caches() would
+        # unpersist entries owned by unrelated concurrent work on the
+        # same driver (another query mid-build)
+        from ..session import cache_mark, release_caches
+
+        mark = cache_mark()
         batch = batch_df
         # intra-batch near-dups: keep cluster canonicals (min id)
         pairs = ngram_jaccard_pairs(batch, threshold=threshold, text_col=text_col, id_col=id_col)
@@ -327,10 +335,9 @@ def foreach_batch_dedup_ingest(
         if not batch.isEmpty():
             sink.append(batch, safe=True)
         # the pair generator tracked-caches its shingle index; release
-        # per batch so an unbounded stream never accumulates storage
-        from ..session import release_caches
-
-        release_caches()
+        # per batch (scoped to this handler's entries) so an unbounded
+        # stream never accumulates storage
+        release_caches(since=mark)
 
     return stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

@@ -44,11 +44,11 @@ SKIP = {
 # their unbounded-frame ranks now run through the banded
 # operators/ranking.py primitives with no single-partition stage.
 GLOBAL_SORT_OK = {
-    "classifier_eval",         # distinct scores
-    "vocab_coverage_curve",    # vocabulary frame
-    "temperature_mix",         # |sources| frame
-    # guarded dims-only surrogate-id row_number (operators/links.py
-    # max_rows guard) inside the link/pipeline facade:
+    # classifier_eval / vocab_coverage_curve / temperature_mix were
+    # rewired onto the banded rank / prefix-sum machinery in round 6 —
+    # only the guarded dims-only surrogate-id row_number
+    # (operators/links.py max_rows guard, raises on fact-sized input)
+    # inside the link/pipeline facade remains:
     "link_customer_nation",
     "link_closest_shipdate",
     "pipeline_end_to_end",

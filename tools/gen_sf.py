@@ -1,0 +1,178 @@
+"""Generate a larger scale-factor rung by deterministic replication of
+the driver's sf0.1 tables (TESTDATA.md; /root/testdata is read-only, so
+the output lands in the repo's gitignored testdata_sfN/).
+
+Scaling recipe (factor K, default 10 => sf1):
+
+* Relational tables replicate K times with per-copy KEY OFFSETS sized
+  to each table's key cardinality, so FK joins stay consistent and key
+  spaces stay dense — dims scale with SF exactly like TPC-H dbgen
+  (customer 150k/sf, supplier 10k/sf, part 200k/sf).
+* region/nation stay fixed (TPC-H dbgen keeps them SF-invariant).
+* events: K copies, event_id offset, ts shifted by copy*7h so the
+  stream's time range extends rather than stacking identical
+  timestamps (sessionization cost profiles stay realistic).
+* documents: copy 0 verbatim; copy i>0 caesar-shifts every letter by
+  i. Each copy's shingle space is DISJOINT from every other copy's, so
+  the near-dup pair structure of sf0.1 replicates exactly K times —
+  dedup benches scale linearly by construction instead of exploding
+  on cross-copy exact duplicates.
+* embeddings: copy i multiplies every vector by a copy-specific
+  deterministic Rademacher (+-1) sign pattern. Within a copy all inner
+  products are preserved EXACTLY (both sides flip the same signs);
+  across copies expected cosine ~ 0 — again: K disjoint replicas of
+  the sf0.1 similarity structure.
+
+Determinism: pure numpy/pyarrow with fixed seeds — same bytes on every
+run. Usage:  python tools/gen_sf.py [K] [src_dir] [dst_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC_DEFAULT = "/root/testdata/sf0.1"
+DST_DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1")
+
+# (table, [(key_col, stride_is_row_count_of_table)]) — stride for an FK
+# column is the referenced table's key cardinality
+FIXED = ("region", "nation")
+
+
+def _read(src: str, name: str) -> pa.Table:
+    return pq.read_table(os.path.join(src, f"{name}.parquet"))
+
+
+def _offset(col: pa.ChunkedArray, delta: int) -> pa.ChunkedArray:
+    return pc.add(col, pa.scalar(delta, type=col.type))
+
+
+def _caesar_shift_batch(texts: list, shift: int) -> list:
+    low = "abcdefghijklmnopqrstuvwxyz"
+    up = low.upper()
+    table = str.maketrans(
+        low + up,
+        low[shift:] + low[:shift] + up[shift:] + up[:shift],
+    )
+    return [t.translate(table) if t is not None else None for t in texts]
+
+
+def scale(src: str, dst: str, k: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+
+    for name in FIXED:
+        pq.write_table(_read(src, name), os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: copied (SF-invariant)")
+
+    cust = _read(src, "customer")
+    supp = _read(src, "supplier")
+    part = _read(src, "part")
+    orders = _read(src, "orders")
+    line = _read(src, "lineitem")
+    # strides are ROW COUNTS: every key space is dense (count ==
+    # distinct == max-min+1, verified on the driver data), so count is
+    # the exact non-colliding offset for both 0- and 1-based keys
+    n_cust, n_supp, n_part = len(cust), len(supp), len(part)
+    n_orders = len(orders)
+
+    def repl(tbl: pa.Table, name: str, strides: dict[str, int]) -> None:
+        copies = []
+        for i in range(k):
+            t = tbl
+            if i:
+                for col, stride in strides.items():
+                    idx = t.schema.get_field_index(col)
+                    t = t.set_column(idx, col, _offset(t[col], i * stride))
+            copies.append(t)
+        out = pa.concat_tables(copies)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {len(tbl)} -> {len(out)}")
+
+    repl(cust, "customer", {"c_custkey": n_cust})
+    repl(supp, "supplier", {"s_suppkey": n_supp})
+    repl(part, "part", {"p_partkey": n_part})
+    repl(orders, "orders", {"o_orderkey": n_orders, "o_custkey": n_cust})
+    repl(
+        line,
+        "lineitem",
+        {"l_orderkey": n_orders, "l_partkey": n_part, "l_suppkey": n_supp},
+    )
+
+    ev = _read(src, "events")
+    n_ev = len(ev)
+    copies = []
+    for i in range(k):
+        t = ev
+        if i:
+            t = t.set_column(
+                t.schema.get_field_index("event_id"),
+                "event_id",
+                _offset(t["event_id"], i * n_ev),
+            )
+            shifted = pc.add(
+                t["ts"].cast(pa.int64()),
+                pa.scalar(i * 7 * 3600 * 1_000_000, type=pa.int64()),
+            ).cast(pa.timestamp("us"))
+            t = t.set_column(t.schema.get_field_index("ts"), "ts", shifted)
+        copies.append(t)
+    out = pa.concat_tables(copies)
+    pq.write_table(out, os.path.join(dst, "events.parquet"))
+    print(f"events: {len(ev)} -> {len(out)}")
+
+    docs = _read(src, "documents")
+    n_docs = len(docs)
+    copies = []
+    texts0 = docs["text"].to_pylist()
+    for i in range(k):
+        t = docs
+        if i:
+            t = t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                _offset(t["doc_id"], i * n_docs),
+            )
+            shifted_txt = pa.chunked_array(
+                [pa.array(_caesar_shift_batch(texts0, i % 25 + 1), type=pa.string())]
+            )
+            t = t.set_column(t.schema.get_field_index("text"), "text", shifted_txt)
+        copies.append(t)
+    out = pa.concat_tables(copies)
+    pq.write_table(out, os.path.join(dst, "documents.parquet"))
+    print(f"documents: {len(docs)} -> {len(out)}")
+
+    emb = _read(src, "embeddings")
+    n_emb = len(emb)
+    mat = np.asarray(emb["embedding"].combine_chunks().to_numpy(zero_copy_only=False).tolist(), dtype=np.float32)
+    dim = mat.shape[1]
+    labels = emb["label"]
+    copies = []
+    for i in range(k):
+        vid = emb["vec_id"] if i == 0 else _offset(emb["vec_id"], i * n_emb)
+        if i == 0:
+            m = mat
+        else:
+            rng = np.random.default_rng(4242 + i)
+            signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim)
+            m = mat * signs  # same flip both sides => within-copy sims exact
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), type=pa.float32()), dim
+        ).cast(pa.list_(pa.float32()))
+        copies.append(
+            pa.table({"vec_id": vid, "embedding": arr, "label": labels})
+        )
+    out = pa.concat_tables(copies)
+    pq.write_table(out, os.path.join(dst, "embeddings.parquet"))
+    print(f"embeddings: {len(emb)} -> {len(out)}")
+
+
+if __name__ == "__main__":
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else SRC_DEFAULT
+    dst = sys.argv[3] if len(sys.argv) > 3 else DST_DEFAULT
+    scale(src, dst, k)
