@@ -130,6 +130,75 @@ def kmeans_centroids(
     return centroids.tolist()
 
 
+def refine_centroids(
+    emb: DataFrame,
+    centroids: "list[list[float]]",
+    iters: int = 1,
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """Distributed Lloyd refinement over the FULL corpus: each
+    iteration is ONE mapInPandas pass emitting per-(partition, cell)
+    partial sums — numPartitions x n_lists rows of dim doubles, bounded
+    METADATA that never grows with corpus rows — reduced on the driver
+    and rebroadcast. This removes the driver-memory term of the
+    sample-based seeding (kmeans_centroids collects a 100k-vector
+    sample; here nothing proportional to sample x dim ever lands on the
+    driver) while letting every corpus vector pull its centroid.
+
+    Determinism: partial sums are computed per physical partition
+    (parquet splits — stable for a given file set) and reduced in
+    sorted (cell, partition) order, so float accumulation order is
+    identical on every run."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    v = emb.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
+    )
+    cents = np.asarray(centroids, dtype="float64")
+    n_lists, dim = cents.shape
+    for _ in range(iters):
+        b_c = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            c = b_c.value
+            kk, dd = c.shape
+            s = np.zeros((kk, dd))
+            n = np.zeros(kk, dtype="int64")
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["__v"].to_numpy())
+                d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for cell in range(kk):
+                    mask = a == cell
+                    if mask.any():
+                        s[cell] += m[mask].sum(axis=0)
+                        n[cell] += int(mask.sum())
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame(
+                {"pid": pid, "cell": range(kk), "n": n, "s": list(s)}
+            )
+
+        rows = v.mapInPandas(
+            partials, "pid int, cell int, n bigint, s array<double>"
+        ).collect()
+        s = np.zeros_like(cents)
+        n = np.zeros(n_lists, dtype="int64")
+        for r in sorted(rows, key=lambda r: (r["cell"], r["pid"])):
+            s[r["cell"]] += np.asarray(r["s"])
+            n[r["cell"]] += r["n"]
+        nz = n > 0
+        nxt = cents.copy()
+        nxt[nz] = s[nz] / n[nz][:, None]  # empty cells keep their seed
+        cents = nxt
+    return cents.tolist()
+
+
 def ivf_neighbors(
     emb: DataFrame,
     queries: DataFrame,
@@ -138,16 +207,25 @@ def ivf_neighbors(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 1,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: coarse-quantize the corpus
     into n_lists k-means cells, probe only the n_probe cells nearest
     each query, exact cosine re-rank within them. Search cost per query
     drops from |corpus| to n_probe/n_lists of it; the inverted lists
     are just a `list_id` column, so at 100 TB they become partition
-    keys and probing is partition pruning."""
+    keys and probing is partition pruning.
+
+    Centroids: sample-seeded (bounded 100k TakeOrdered) then refined by
+    refine_iters distributed Lloyd passes over the full corpus
+    (refine_centroids) — no driver-memory term scales with the corpus
+    or the sample once seeding is done."""
     import numpy as np
 
-    centroids = np.array(kmeans_centroids(emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col))
+    centroids = kmeans_centroids(emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    if refine_iters > 0:
+        centroids = refine_centroids(emb, centroids, iters=refine_iters, vec_col=vec_col)
+    centroids = np.array(centroids)
     spark = emb.sparkSession
     b_c = spark.sparkContext.broadcast(centroids)
 
@@ -374,6 +452,74 @@ def int_lsh_neighbors(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def int_lsh_multi_neighbors(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH: n_tables INDEPENDENT plane sets (table t uses
+    global plane indices t*n_planes..), a candidate matches if it
+    shares a bucket in ANY table — the standard recall amplifier
+    (miss probability multiplies across tables: (1-p^b)^L). Candidates
+    are unioned across tables and de-duplicated BEFORE the exact-d²
+    re-rank, so recall@k is monotonically non-decreasing in n_tables
+    by construction. Cost: n_tables hash maps over the corpus + one
+    distinct on (query, neighbor) — still Σ bucket², never n².
+    Integer Rademacher projections keep every bucket decision exactly
+    replayable in SQL (the int_lsh_neighbors contract)."""
+    corpus = emb.select(
+        F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q")
+    )
+    q = queries.select(
+        F.col(id_col).alias("__qid"), qvec(F.col(vec_col)).alias("__qq")
+    )
+
+    def bucket(vec: Column, table: int) -> Column:
+        bits = []
+        for p in range(n_planes):
+            gp = table * n_planes + p  # global plane index => fresh signs
+            plane = F.array(
+                *[F.lit(rademacher_sign(gp, d)) for d in range(1, dim + 1)]
+            )
+            proj = F.aggregate(
+                F.zip_with(vec, plane, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    cands = None
+    for t in range(n_tables):
+        c_t = corpus.withColumn("__b", bucket(F.col("__q"), t))
+        q_t = q.withColumn("__b", bucket(F.col("__qq"), t))
+        pairs_t = c_t.join(F.broadcast(q_t), on="__b").filter(
+            F.col("__qid") != F.col("__id")
+        )
+        cands = pairs_t if cands is None else cands.unionByName(pairs_t)
+    scored = (
+        # a pair found by several tables must rank once: distinct on the
+        # pair key (carrying the vectors) before the re-rank
+        cands.select("__qid", "__id", "__qq", "__q")
+        .dropDuplicates(["__qid", "__id"])
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            _d2_int(F.col("__qq"), F.col("__q")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def int_ivf_neighbors(
     emb: DataFrame,
     queries: DataFrame,
@@ -381,21 +527,26 @@ def int_ivf_neighbors(
     n_lists: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF with pinned seeds: centroids are the n_lists lowest-id
     vectors (quantized), every vector assigns to the argmin integer-d²
-    centroid (tie → lowest cell id), queries probe their own cell, and
-    ranking is (integer d², neighbor_id) — the full coarse-quantize /
-    probe / re-rank plumbing of ivf_neighbors with every decision
-    exactly replayable in SQL. The centroid fetch is a bounded
-    n_lists-row collect (8 rows), the assignment is pure Column algebra
-    folded into one map pass, and the probe join broadcasts the query
-    side — no extra shuffle vs the production kmeans path."""
+    centroid (tie → lowest cell id), queries probe their n_probe
+    NEAREST cells (argmin-n — the classic fix for the recall cliff at
+    cell boundaries), and ranking is (integer d², neighbor_id) — the
+    full coarse-quantize / probe / re-rank plumbing of ivf_neighbors
+    with every decision exactly replayable in SQL. The centroid fetch
+    is a bounded n_lists-row collect (8 rows), the assignment is pure
+    Column algebra folded into one map pass, and the probe join
+    broadcasts the (query × n_probe)-row side — no extra shuffle vs
+    the production kmeans path. A (query, neighbor) pair can only
+    arise once: each corpus vector lives in exactly ONE cell and a
+    query's probed cells are distinct."""
     corpus = emb.select(F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q"))
     seeds = corpus.orderBy("__id").limit(n_lists).collect()
     cents = [list(r["__q"]) for r in seeds]
 
-    def cell(vec: Column) -> Column:
+    def dists(vec: Column) -> Column:
         alts = [
             F.struct(
                 _d2_int(vec, F.array(*[F.lit(int(c)) for c in cent])).alias("d2"),
@@ -403,12 +554,29 @@ def int_ivf_neighbors(
             )
             for i, cent in enumerate(cents)
         ]
-        return F.array_min(F.array(*alts))["c"]
+        return F.array(*alts)
+
+    def cell(vec: Column) -> Column:
+        return F.array_min(dists(vec))["c"]
 
     assigned = corpus.withColumn("__cell", cell(F.col("__q")))
     q = queries.select(
         F.col(id_col).alias("__qid"), qvec(F.col(vec_col)).alias("__qq")
-    ).withColumn("__cell", cell(F.col("__qq")))
+    )
+    if n_probe <= 1:
+        q = q.withColumn("__cell", cell(F.col("__qq")))
+    else:
+        # argmin-n: struct array sorts by (d2, c) — lexicographic
+        # struct ordering IS the tie rule the single-cell path uses
+        q = q.withColumn(
+            "__cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dists(F.col("__qq"))), 1, n_probe),
+                    lambda s: s["c"],
+                )
+            ),
+        )
     scored = (
         assigned.join(F.broadcast(q), on="__cell")
         .filter(F.col("__qid") != F.col("__id"))
