@@ -80,6 +80,7 @@ _PRIORITY = [
     # the tail)
     "knn_brute_force",
     "knn_lsh_int",
+    "knn_lsh_multi",
     "knn_ivf_int",
     "knn_filtered",
     "lexical_search_topk",

@@ -38,34 +38,26 @@ _ASOF_OPS = {">=", ">", "<=", "<"}
 
 
 def with_surrogate_id(
-    dim: DataFrame, order_by: str | list[str], id_col: str = "id", max_rows: int = 10_000_000
+    dim: DataFrame, order_by: str | list[str], id_col: str = "id"
 ) -> DataFrame:
     """Dense 1-based surrogate key, deterministic via ``order_by``.
 
     Stands in for the reference's auto-increment ``id``
-    (easy_etl/README.md:180). ``row_number`` needs a total order →
-    the whole input flows through ONE window task, acceptable only
-    because dims are small. The ``max_rows`` guard (a cheap dim-scan
-    count) makes pointing this at a fact table an error instead of a
-    silent single-task bottleneck — facts get the partition-offset
-    scheme (sources/sinks.py) or ``monotonically_increasing_id``
-    (sparse but shuffle-free) instead. Pass ``max_rows=None`` to skip
-    the guard (and its count job) on a pre-validated dim.
+    (easy_etl/README.md:180). Runs on the banded global-row-number
+    primitive (operators/ranking.py): range-partition on the order
+    key, per-partition offsets from a bounded numPartitions-row
+    collect, intra-partition window — identical values to
+    ``row_number() OVER (ORDER BY ...)`` with NO single-partition
+    stage, so the same call is safe on a 25-row nation dim and on a
+    billion-row conformed dimension. (The former max_rows guard is
+    gone: there is no single-task bottleneck left to guard against.)
     """
-    if max_rows is not None:
-        n = dim.count()
-        if n > max_rows:
-            raise ValueError(
-                f"with_surrogate_id is a dims-only operator (global-window "
-                f"row_number): input has {n} rows > max_rows={max_rows}; use "
-                f"the partition-offset id scheme for fact tables"
-            )
+    from .ranking import global_row_number
+
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    # partitionBy(lit(0)) is the same single-partition execution the
-    # total order requires, but states it intentionally — no
-    # "No Partition Defined" WindowExec warning storm in bench logs.
-    w = Window.partitionBy(F.lit(0)).orderBy(*[F.col(c) for c in cols])
-    return dim.withColumn(id_col, F.row_number().over(w))
+    return global_row_number(
+        dim, [F.col(c) for c in cols], out_col=id_col
+    )
 
 
 def link(

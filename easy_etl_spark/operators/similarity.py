@@ -145,10 +145,14 @@ def refine_centroids(
     sample; here nothing proportional to sample x dim ever lands on the
     driver) while letting every corpus vector pull its centroid.
 
-    Determinism: partial sums are computed per physical partition
-    (parquet splits — stable for a given file set) and reduced in
-    sorted (cell, partition) order, so float accumulation order is
-    identical on every run."""
+    Determinism: partial sums are computed per physical partition and
+    reduced in sorted (cell, partition) order, so float accumulation
+    order is repeatable — FOR A FIXED file set AND a fixed input-split
+    configuration (spark.sql.files.maxPartitionBytes / default
+    parallelism). Changing the split config re-cuts the physical
+    partitions, which reorders float accumulation and can perturb
+    centroids in the last ulps; within one configuration every run is
+    identical."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -184,9 +188,15 @@ def refine_centroids(
                 {"pid": pid, "cell": range(kk), "n": n, "s": list(s)}
             )
 
-        rows = v.mapInPandas(
-            partials, "pid int, cell int, n bigint, s array<double>"
-        ).collect()
+        try:
+            rows = v.mapInPandas(
+                partials, "pid int, cell int, n bigint, s array<double>"
+            ).collect()
+        finally:
+            # one broadcast per iteration: free the executor-side copy
+            # before the next one lands, or iters iterations hold iters
+            # copies of the centroid table in executor memory
+            b_c.unpersist()
         s = np.zeros_like(cents)
         n = np.zeros(n_lists, dtype="int64")
         for r in sorted(rows, key=lambda r: (r["cell"], r["pid"])):
@@ -197,6 +207,63 @@ def refine_centroids(
         nxt[nz] = s[nz] / n[nz][:, None]  # empty cells keep their seed
         cents = nxt
     return cents.tolist()
+
+
+# Trained-centroid cache: (corpus identity, training params) -> the
+# n_lists x dim centroid table. An IVF index is TRAINED ONCE and then
+# SERVES many queries — retraining per ivf_neighbors call would both
+# waste a full-corpus Lloyd pass per invocation and mismatch how a real
+# index deploys. The key is the corpus's input file list (stable for a
+# parquet-backed frame) or, for in-memory frames, Spark's semantic plan
+# hash; values are n_lists x dim floats — bounded metadata, never
+# corpus-sized, so the cache needs no eviction (clear_centroid_cache()
+# exists for tests and for retraining after a corpus rewrite in place).
+_CENTROID_CACHE: dict[tuple, "list[list[float]]"] = {}
+
+
+def clear_centroid_cache() -> int:
+    n = len(_CENTROID_CACHE)
+    _CENTROID_CACHE.clear()
+    return n
+
+
+def _corpus_identity(emb: DataFrame, vec_col: str) -> tuple:
+    files = tuple(sorted(emb.inputFiles()))
+    if files:
+        return ("files",) + files + (vec_col,)
+    # no backing files (in-memory / constructed frame): key on the
+    # logical plan. semanticHash collisions would only ever reuse
+    # centroids across plans Spark itself considers equivalent-shaped;
+    # in the worst case that is a quality (recall) concern for exotic
+    # in-memory corpora, never a correctness one — ANN results are
+    # approximate by contract, and file-backed corpora (the production
+    # path) never take this branch.
+    return ("plan", emb.semanticHash(), vec_col)
+
+
+def trained_centroids(
+    emb: DataFrame,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 100_000,
+    refine_iters: int = 1,
+) -> "list[list[float]]":
+    """Sample-seeded + distributed-Lloyd-refined centroids, trained
+    ONCE per (corpus, params) and served from the module cache on every
+    later call — the deploy posture of a real IVF index (train job,
+    then query serving against frozen centroids)."""
+    key = _corpus_identity(emb, vec_col) + (n_lists, sample_size, refine_iters, id_col)
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cents = kmeans_centroids(
+        emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+    )
+    if refine_iters > 0:
+        cents = refine_centroids(emb, cents, iters=refine_iters, vec_col=vec_col)
+    _CENTROID_CACHE[key] = cents
+    return cents
 
 
 def ivf_neighbors(
@@ -219,13 +286,16 @@ def ivf_neighbors(
     Centroids: sample-seeded (bounded 100k TakeOrdered) then refined by
     refine_iters distributed Lloyd passes over the full corpus
     (refine_centroids) — no driver-memory term scales with the corpus
-    or the sample once seeding is done."""
+    or the sample once seeding is done. Training runs ONCE per
+    (corpus, params) and is served from the trained_centroids cache on
+    repeat calls, matching how an IVF index actually deploys."""
     import numpy as np
 
-    centroids = kmeans_centroids(emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
-    if refine_iters > 0:
-        centroids = refine_centroids(emb, centroids, iters=refine_iters, vec_col=vec_col)
-    centroids = np.array(centroids)
+    centroids = np.array(
+        trained_centroids(
+            emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col, refine_iters=refine_iters
+        )
+    )
     spark = emb.sparkSession
     b_c = spark.sparkContext.broadcast(centroids)
 

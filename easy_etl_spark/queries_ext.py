@@ -259,6 +259,43 @@ def _ivf_int_oracle(n_lists: int = 8) -> str:
     """
 
 
+def _lsh_multi_oracle(n_planes: int = 8, n_tables: int = 2) -> str:
+    """DuckDB twin of similarity.int_lsh_multi_neighbors: n_tables
+    independent plane sets (table t uses global plane indices
+    t*n_planes + p), a candidate qualifies if it shares a bucket in ANY
+    table (the OR-join is the SQL form of the Spark side's
+    union-then-distinct), then one exact integer-d² re-rank."""
+    buckets = []
+    for t in range(n_tables):
+        b = "\n           + ".join(
+            f"CASE WHEN list_sum(list_transform(q, (x, i) -> x * {_SIGN.format(p=t * n_planes + p)})) >= 0"
+            f" THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+        buckets.append(f"{b} AS b{t}")
+    bucket_cols = ",\n           ".join(buckets)
+    any_match = " OR ".join(f"c.b{t} = qs.b{t}" for t in range(n_tables))
+    return f"""
+    WITH v AS (SELECT vec_id, {_QV} AS q FROM embeddings),
+    b AS (
+      SELECT vec_id, q,
+           {bucket_cols}
+      FROM v
+    ),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_PAIR_D2.format(a="qs.q", b="c.q")} AS d2
+      FROM (SELECT * FROM b WHERE vec_id < 5) qs
+      JOIN b c ON ({any_match}) AND c.vec_id != qs.vec_id
+    )
+    SELECT query_id, neighbor_id, d2, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
 @register("knn_lsh_int", _lsh_int_oracle())
 def knn_lsh_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked LSH neighbors (similarity.int_lsh_neighbors):
@@ -268,6 +305,19 @@ def knn_lsh_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int_lsh_neighbors(emb, queries_df, k=10).select(
         "query_id", "neighbor_id", "d2", "rnk"
     )
+
+
+@register("knn_lsh_multi", _lsh_multi_oracle())
+def knn_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked multi-table LSH (similarity.int_lsh_multi_
+    neighbors): 2 independent plane sets, candidates unioned across
+    tables before the exact re-rank — the standard recall amplifier,
+    value-hash-verified against the OR-join SQL form."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.int_lsh_multi_neighbors(
+        emb, queries_df, k=10, n_tables=2
+    ).select("query_id", "neighbor_id", "d2", "rnk")
 
 
 @register("knn_ivf_int", _ivf_int_oracle())

@@ -67,12 +67,11 @@ def item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    wtop = Window.orderBy(F.col("n").desc(), "p")
-    anchors = (
-        pop.withColumn("r", F.row_number().over(wtop))
-        .filter(F.col("r") <= 20)
-        .select("p", "n")
-    )
+    # anchor selection is a TakeOrderedAndProject (distributed
+    # per-partition top-20 + tiny driver merge), NOT an unpartitioned
+    # rank window — the same swap priority_sample got: a global-window
+    # row_number here would funnel every part through one task
+    anchors = pop.orderBy(F.col("n").desc(), "p").limit(20).select("p", "n")
     a, b = li.alias("a"), li.alias("b")
     co = (
         a.join(

@@ -183,7 +183,13 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
 # through track_cache(); callers that batch many queries reclaim the
 # storage between them with release_caches().
 
-_TRACKED_CACHE: list[DataFrame] = []
+_CACHE_LOCK = __import__("threading").Lock()
+#: (owner_thread_id, df) — owner is recorded so a scoped release
+#: (release_caches(since=mark)) frees ONLY entries the calling thread
+#: tracked, never entries unrelated concurrent work appended after the
+#: mark (a foreachBatch handler and an interactive query can share one
+#: driver; index-based popping would release the stranger's caches too)
+_TRACKED_CACHE: list[tuple[int, DataFrame]] = []
 
 
 def track_cache(df: DataFrame) -> DataFrame:
@@ -196,7 +202,11 @@ def track_cache(df: DataFrame) -> DataFrame:
     use pin_frame() instead: a released performance cache merely
     recomputes, a released correctness pin would re-plan with fresh
     RangePartitioner boundaries and misalign the offsets."""
-    _TRACKED_CACHE.append(df.persist())
+    import threading
+
+    df.persist()
+    with _CACHE_LOCK:
+        _TRACKED_CACHE.append((threading.get_ident(), df))
     return df
 
 
@@ -214,27 +224,66 @@ def pin_frame(df: DataFrame) -> DataFrame:
     lineage to re-run — every later action reads the same stored
     blocks — and the blocks are reclaimed by the ContextCleaner when
     the frame is garbage-collected, so release_caches() stays safe to
-    call at any time (it never touches pins)."""
+    call at any time (it never touches pins).
+
+    Cluster caveat: localCheckpoint blocks are UNREPLICATED executor
+    storage with truncated lineage — losing an executor that holds
+    them (crash, spot preemption, dynamic-allocation decommission)
+    makes every later action on the pinned frame fail loudly rather
+    than recompute. On a local[*] test JVM that executor is the
+    driver, so the risk is zero; on a cluster with
+    spark.dynamicAllocation.enabled (or spot/preemptible executors)
+    the pin automatically upgrades to a RELIABLE checkpoint written to
+    spark.checkpoint.dir / sparkContext.setCheckpointDir when one is
+    configured — same materialize-once semantics, storage survives
+    executor churn. With dynamic allocation on but no checkpoint dir,
+    the fragile fast path is used (nothing else is possible) — set a
+    checkpoint dir on such clusters."""
+    spark = df.sparkSession
+    dyn = str(spark.conf.get("spark.dynamicAllocation.enabled", "false")).lower() == "true"
+    if dyn and spark.sparkContext._jsc.sc().checkpointDir().isDefined():
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
 
 def cache_mark() -> int:
-    """Current length of the tracked-cache registry. Pass it to
-    release_caches(since=...) to release only the entries an operator
-    added after the mark — a foreachBatch handler on a shared driver
-    must not unpersist caches owned by unrelated concurrent work."""
-    return len(_TRACKED_CACHE)
+    """Number of entries the CURRENT THREAD has tracked so far. Pass it
+    to release_caches(since=...) to release only the entries this
+    thread added after the mark — scoping is by owner thread identity,
+    so a foreachBatch handler on a shared driver can never unpersist
+    caches that unrelated concurrent work (another thread) tracked
+    while the handler was running."""
+    import threading
+
+    tid = threading.get_ident()
+    with _CACHE_LOCK:
+        return sum(1 for t, _ in _TRACKED_CACHE if t == tid)
 
 
-def release_caches(since: int = 0) -> int:
-    """Blocking-unpersist tracked cache entries added at/after index
-    ``since`` (default 0 = everything); returns how many were
-    released. Safe to call at any time: every tracked entry is a pure
+def release_caches(since: int | None = None) -> int:
+    """Blocking-unpersist tracked cache entries; returns how many were
+    released. ``since=None`` (default) releases EVERYTHING regardless
+    of owning thread — the between-queries cleanup used by bench loops
+    and the oracle sweep. ``since=mark`` (a value from cache_mark())
+    releases only entries the CURRENT thread tracked at/after its own
+    mark, by identity — entries other threads appended in between are
+    untouched. Safe to call at any time: every tracked entry is a pure
     performance cache (correctness pins use pin_frame and are not in
     this registry), so an early release merely recomputes."""
+    import threading
+
+    with _CACHE_LOCK:
+        if since is None:
+            victims = [df for _, df in _TRACKED_CACHE]
+            _TRACKED_CACHE.clear()
+        else:
+            tid = threading.get_ident()
+            mine = [i for i, (t, _) in enumerate(_TRACKED_CACHE) if t == tid]
+            drop = set(mine[since:])
+            victims = [df for i, (_, df) in enumerate(_TRACKED_CACHE) if i in drop]
+            _TRACKED_CACHE[:] = [e for i, e in enumerate(_TRACKED_CACHE) if i not in drop]
     n = 0
-    while len(_TRACKED_CACHE) > since:
-        df = _TRACKED_CACHE.pop()
+    for df in victims:
         try:
             df.unpersist(blocking=True)
             n += 1

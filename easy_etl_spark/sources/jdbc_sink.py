@@ -36,6 +36,11 @@ from pyspark.sql import functions as F
 from .sinks import dense_ids
 
 
+class _NoRenameDialect(Exception):
+    """Internal control-flow: the configured dialect has no rename DDL,
+    take the staged-overwrite path without attempting one."""
+
+
 class JdbcSink:
     """A JDBC table with ParquetSink's load semantics (append/upsert/
     ensure/drop-sync/surrogate ids). Table names should be simple
@@ -48,13 +53,38 @@ class JdbcSink:
     # extract would already see post-load state)
     observes_writes = False
 
+    #: rename-DDL template per JDBC subprotocol (the token after
+    #: "jdbc:" in the URL). None => the engine has no usable rename and
+    #: _swap_write goes straight to the staged-overwrite fallback.
+    RENAME_SQL = {
+        "mysql": "RENAME TABLE {frm} TO {to}",
+        "mariadb": "RENAME TABLE {frm} TO {to}",
+        "derby": "RENAME TABLE {frm} TO {to}",
+        "postgresql": "ALTER TABLE {frm} RENAME TO {to}",
+        "h2": "ALTER TABLE {frm} RENAME TO {to}",
+        "hsqldb": "ALTER TABLE {frm} RENAME TO {to}",
+        "sqlite": "ALTER TABLE {frm} RENAME TO {to}",
+        "oracle": "ALTER TABLE {frm} RENAME TO {to}",
+        "sqlserver": "EXEC sp_rename '{frm}', '{to}'",
+    }
+
     def __init__(self, spark: SparkSession, url: str, table: str,
-                 driver: str | None = None, id_col: str = "id"):
+                 driver: str | None = None, id_col: str = "id",
+                 dialect: str | None = None):
         self.spark = spark
         self.url = url
         self.table = table
         self.driver = driver
         self.id_col = id_col
+        # dialect override is for engines whose URL prefix isn't in
+        # RENAME_SQL (or to force the no-rename fallback: dialect="")
+        if dialect is None:
+            dialect = url.split(":")[1].lower() if url.count(":") >= 2 else ""
+        self.dialect = dialect
+
+    def _rename_sql(self, frm: str, to: str) -> str | None:
+        tpl = self.RENAME_SQL.get(self.dialect)
+        return tpl.format(frm=frm, to=to) if tpl else None
 
     # -- connection helpers ------------------------------------------
     def _options(self, rw, dbtable: str):
@@ -91,10 +121,17 @@ class JdbcSink:
             meta = conn.getMetaData()
             # unquoted identifiers are stored case-folded per engine
             for cand in dict.fromkeys((name.upper(), name, name.lower())):
+                # getTables treats its arg as a SQL LIKE pattern ('_'
+                # matches any char, '%' any run) and scans ALL schemas
+                # — so a same-length sibling of T_METRICS would pattern
+                # -match and fake an 'exists'. Require an EXACT
+                # TABLE_NAME hit among the matches instead of trusting
+                # the pattern.
                 rs = meta.getTables(None, None, cand, None)
                 try:
-                    if rs.next():
-                        return True
+                    while rs.next():
+                        if rs.getString("TABLE_NAME") == cand:
+                            return True
                 finally:
                     rs.close()
             return False
@@ -122,13 +159,17 @@ class JdbcSink:
         try:
             had_target = self._table_exists()
             try:
+                if self._rename_sql("x", "y") is None:
+                    # engine with no known rename DDL (or dialect="")
+                    # — go straight to the staged-overwrite fallback
+                    raise _NoRenameDialect()
                 if had_target:
-                    self._execute(conn, f"RENAME TABLE {self.table} TO {old}")
+                    self._execute(conn, self._rename_sql(self.table, old))
                 try:
-                    self._execute(conn, f"RENAME TABLE {staging} TO {self.table}")
+                    self._execute(conn, self._rename_sql(staging, self.table))
                 except Exception:
                     if had_target:  # roll the old table back in
-                        self._execute(conn, f"RENAME TABLE {old} TO {self.table}")
+                        self._execute(conn, self._rename_sql(old, self.table))
                     raise
             except Exception:
                 # Engine without RENAME TABLE: documented fallback —

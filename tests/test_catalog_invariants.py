@@ -38,21 +38,13 @@ SKIP = {
     "source_formats_roundtrip",
 }
 
-# audited global sorts over aggregated dimension-sized frames (each
-# docstring names the repartitionByRange/prefix-merge swap). Round 5
-# removed conversion_latency / pareto_revenue_deciles / skyline_parts:
-# their unbounded-frame ranks now run through the banded
-# operators/ranking.py primitives with no single-partition stage.
-GLOBAL_SORT_OK = {
-    # classifier_eval / vocab_coverage_curve / temperature_mix were
-    # rewired onto the banded rank / prefix-sum machinery in round 6 —
-    # only the guarded dims-only surrogate-id row_number
-    # (operators/links.py max_rows guard, raises on fact-sized input)
-    # inside the link/pipeline facade remains:
-    "link_customer_nation",
-    "link_closest_shipdate",
-    "pipeline_end_to_end",
-}
+# Round 7 emptied the whitelist: the last three entries (the link /
+# pipeline facade queries) rode the dims-only surrogate-id row_number
+# in operators/links.py, which now runs on the banded
+# ranking.global_row_number primitive — every registered query compiles
+# with ZERO Sort->Exchange SinglePartition stages, and the set must
+# stay empty.
+GLOBAL_SORT_OK: set[str] = set()
 
 
 def _global_sorts(df) -> int:

@@ -1,0 +1,237 @@
+"""Regression tests for the round-7 fixes:
+
+1. release_caches(since=mark) is scoped by OWNER THREAD identity — it
+   frees only entries the calling thread tracked after its mark, never
+   entries unrelated concurrent work appended in between (the round-6
+   implementation popped by registry index, which could release a
+   stranger's caches).
+2. JdbcSink._table_exists no longer trusts getTables' LIKE-pattern
+   match: '_' in a table name can pattern-match a same-length sibling
+   and fake an 'exists', sending read() at a missing table.
+3. tools/gen_sf.py refuses k > 26 (the caesar alphabet has only 26
+   distinct bijections; copy 26 would duplicate copy 1's text and
+   break the disjoint-shingle-space property dedup benches rely on).
+4. The JDBC no-RENAME fallback path is parameterized by dialect and
+   EXECUTED live (not just unit-reasoned): an unknown/empty dialect
+   goes straight to the staged-overwrite fallback, and a dialect whose
+   rename DDL the engine rejects lands there via the exception path —
+   both must preserve every pre-existing row.
+5. int_lsh_multi_neighbors (multi-table LSH): recall@k vs the exact
+   integer-d² top-k is monotonically non-decreasing in n_tables
+   (candidate sets grow; exact re-rank makes top-k inclusion monotone).
+6. item_recommendations selects its 20 anchor parts via
+   TakeOrderedAndProject, not an unpartitioned rank window.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from easy_etl_spark.session import cache_mark, load_table, release_caches, track_cache
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+# ----------------------------------------------------------------------
+# 1. thread-scoped cache release
+# ----------------------------------------------------------------------
+
+def test_scoped_release_spares_other_threads_entries(spark, sf_dir):
+    release_caches()  # clean slate
+    mine_before = track_cache(load_table(spark, sf_dir, "region").select("r_regionkey"))
+    mark = cache_mark()
+    mine_after = track_cache(load_table(spark, sf_dir, "nation").select("n_nationkey"))
+
+    # another thread tracks a cache AFTER this thread's mark — the
+    # exact interleaving a foreachBatch handler shares a driver with
+    other_frame = []
+
+    def other():
+        other_frame.append(
+            track_cache(load_table(spark, sf_dir, "customer").select("c_custkey"))
+        )
+
+    t = threading.Thread(target=other)
+    t.start()
+    t.join()
+
+    # scoped release: only THIS thread's post-mark entry goes
+    assert release_caches(since=mark) == 1
+    assert mine_after.storageLevel.useMemory is False
+    assert mine_before.storageLevel.useMemory is True  # pre-mark: kept
+    assert other_frame[0].storageLevel.useMemory is True  # other thread: kept
+    # blanket release still frees everything regardless of owner
+    assert release_caches() == 2
+    assert other_frame[0].storageLevel.useMemory is False
+
+
+# ----------------------------------------------------------------------
+# 2. getTables LIKE-pattern false positive
+# ----------------------------------------------------------------------
+
+def test_table_exists_requires_exact_name_not_like_pattern(spark, tmp_path_factory):
+    from easy_etl_spark.sources.jdbc_sink import JdbcSink
+
+    db = tmp_path_factory.mktemp("derby_like") / "db"
+    url = f"jdbc:derby:{db};create=true"
+    # create the same-length sibling that the LIKE pattern T_METRICS
+    # ('_' = any one char) would match
+    sibling = JdbcSink(spark, url, "TAMETRICS", driver=DERBY)
+    seed = spark.createDataFrame([(1, "x")], "k int, v string")
+    sibling.append(seed)
+    target = JdbcSink(spark, url, "T_METRICS", driver=DERBY)
+    assert sibling._table_exists() is True
+    assert target._table_exists() is False  # pattern would say True
+    assert target.read() is None  # create-fresh-table path stays open
+    # and the exact name still resolves once it actually exists
+    target.append(seed)
+    assert target._table_exists() is True
+    assert target.read().count() == 1
+
+
+# ----------------------------------------------------------------------
+# 3. gen_sf caesar-period guard
+# ----------------------------------------------------------------------
+
+def test_gen_sf_refuses_k_beyond_caesar_period(tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_sf
+
+    with pytest.raises(ValueError, match="26"):
+        gen_sf.scale("/root/testdata/sf0.001", str(tmp_path / "out"), 27)
+
+
+# ----------------------------------------------------------------------
+# 4. no-RENAME fallback, executed live
+# ----------------------------------------------------------------------
+
+def _mk_sink(spark, tmp_path_factory, name, dialect):
+    from easy_etl_spark.sources.jdbc_sink import JdbcSink
+
+    db = tmp_path_factory.mktemp("derby_dialect") / "db"
+    return JdbcSink(
+        spark, f"jdbc:derby:{db};create=true", name, driver=DERBY, dialect=dialect
+    )
+
+
+@pytest.mark.parametrize(
+    "dialect",
+    [
+        "",  # no rename DDL known -> direct staged-overwrite fallback
+        # postgresql's ALTER TABLE ... RENAME TO is rejected by Derby,
+        # so this exercises the exception-path fallback — the branch a
+        # Postgres-dialect engine would never hit, and the branch any
+        # engine with flaky DDL lands in
+        "postgresql",
+    ],
+)
+def test_no_rename_fallback_preserves_rows(spark, tmp_path_factory, dialect):
+    sink = _mk_sink(spark, tmp_path_factory, "T_FB", dialect)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    sink.append(df1)
+    sink.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    got = sorted((r["k"], r["v"]) for r in sink.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    ids = sorted(r["id"] for r in sink.read().collect())
+    assert ids == [1, 2, 3]  # surrogate ids survive the fallback swap
+    # upsert through the same fallback path
+    sink.upsert(spark.createDataFrame([(3, "C"), (4, "d")], "k int, v string"), keys=["k"])
+    got = sorted((r["k"], r["v"]) for r in sink.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "C"), (4, "d")]
+
+
+def test_dialect_inferred_from_url(spark):
+    from easy_etl_spark.sources.jdbc_sink import JdbcSink
+
+    s = JdbcSink(spark, "jdbc:derby:/tmp/x;create=true", "T", driver=DERBY)
+    assert s.dialect == "derby"
+    assert "RENAME TABLE" in s._rename_sql("A", "B")
+    p = JdbcSink(spark, "jdbc:postgresql://h/db", "T", dialect=None)
+    assert p._rename_sql("A", "B") == "ALTER TABLE A RENAME TO B"
+    assert JdbcSink(spark, "jdbc:exoticdb://h/db", "T")._rename_sql("A", "B") is None
+
+
+# ----------------------------------------------------------------------
+# 5. multi-table LSH recall monotonicity
+# ----------------------------------------------------------------------
+
+def test_multi_table_lsh_recall_monotone(spark, sf_dir):
+    import numpy as np
+
+    from easy_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 5")
+
+    # exact integer-d2 ground truth (the metric every LSH variant
+    # re-ranks with), computed densely on the collected sf0.001 corpus
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array(
+        [[int(np.floor(float(x) * 1e6 + 0.5)) for x in r["embedding"]] for r in rows],
+        dtype="int64",
+    )
+    truth = {}
+    for qi in range(5):
+        d2 = ((mat - mat[qi]) ** 2).sum(axis=1)
+        order = sorted((int(d), int(i)) for d, i in zip(d2, ids) if i != qi)
+        truth[qi] = {i for _, i in order[:10]}
+
+    def recall(df):
+        hits = sum(
+            1
+            for r in df.collect()
+            if r["neighbor_id"] in truth[r["query_id"]]
+        )
+        return hits / (5 * 10)
+
+    # 4 planes -> 16 buckets -> ~30 vectors/bucket on the 500-vector
+    # corpus: buckets big enough that recall differences are visible
+    # (with the default 8 planes buckets hold ~2 vectors and every
+    # variant's recall is pinned near zero)
+    r1 = recall(similarity.int_lsh_neighbors(emb, q, k=10, n_planes=4))
+    r2 = recall(similarity.int_lsh_multi_neighbors(emb, q, k=10, n_planes=4, n_tables=2))
+    r3 = recall(similarity.int_lsh_multi_neighbors(emb, q, k=10, n_planes=4, n_tables=4))
+    # candidate sets grow with n_tables and the exact re-rank makes
+    # top-k hits monotone in the candidate set, so recall cannot drop
+    assert r1 <= r2 <= r3, (r1, r2, r3)
+    assert r3 > r1, (r1, r3)  # amplification must actually help here
+    assert r3 >= 0.3, (r1, r2, r3)
+
+
+def test_multi_table_single_table_consistency(spark, sf_dir):
+    """n_tables=1 must reproduce int_lsh_neighbors exactly (table 0
+    uses the same global plane indices)."""
+    from easy_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 3")
+    a = sorted(
+        map(tuple, similarity.int_lsh_neighbors(emb, q, k=10).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.int_lsh_multi_neighbors(emb, q, k=10, n_tables=1).collect())
+    )
+    assert a == b
+
+
+# ----------------------------------------------------------------------
+# 6. item_recommendations anchors via TakeOrdered
+# ----------------------------------------------------------------------
+
+def test_item_recommendations_anchor_plan_uses_take_ordered(spark, sf_dir):
+    from easy_etl_spark.queries import QUERIES
+
+    df = QUERIES["item_recommendations"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # and no single-partition global-sort window feeds the anchors
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            assert "Sort [" not in " ".join(lines[max(0, i - 2) : i])

@@ -64,6 +64,17 @@ def _caesar_shift_batch(texts: list, shift: int) -> list:
 
 
 def scale(src: str, dst: str, k: int) -> None:
+    if k > 26:
+        # the caesar transform gives copies 0..25 pairwise-distinct
+        # letter bijections (verbatim, then shifts 2..25,1); copy 26
+        # would repeat copy 1's shift, silently creating cross-copy
+        # EXACT duplicates and breaking the disjoint-shingle-space
+        # property the dedup benches rely on. Refuse instead.
+        raise ValueError(
+            f"k={k} > 26: the per-copy caesar alphabet has only 26 distinct "
+            "bijections, so copies i and i-25 would carry identical text. "
+            "Max supported rung from sf0.1 is k=26 (sf2.6)."
+        )
     os.makedirs(dst, exist_ok=True)
 
     for name in FIXED:
