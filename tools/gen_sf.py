@@ -9,9 +9,15 @@ Scaling recipe (factor K, default 10 => sf1):
   spaces stay dense — dims scale with SF exactly like TPC-H dbgen
   (customer 150k/sf, supplier 10k/sf, part 200k/sf).
 * region/nation stay fixed (TPC-H dbgen keeps them SF-invariant).
-* events: K copies, event_id offset, ts shifted by copy*7h so the
-  stream's time range extends rather than stacking identical
-  timestamps (sessionization cost profiles stay realistic).
+* events: K copies, event_id AND user_id offset (dense 0-based user
+  space, stride = max+1), ts shifted by copy*7h. Offsetting user_id is
+  what keeps the scale-up honest: copies are new USERS with the same
+  per-user event density, so sessionization / funnels / interval
+  self-joins (all keyed on user_id) scale linearly in K. Without it,
+  copies stack onto the same 1.5k users in an overlapping time range
+  — per-user density multiplies and every time-windowed self-join's
+  OUTPUT grows ~K² (measured: 97x pairs for K=10), which benchmarks
+  the workload's combinatorics, not the engine.
 * documents: copy 0 verbatim; copy i>0 caesar-shifts every letter by
   i. Each copy's shingle space is DISJOINT from every other copy's, so
   the near-dup pair structure of sf0.1 replicates exactly K times —
@@ -117,6 +123,7 @@ def scale(src: str, dst: str, k: int) -> None:
 
     ev = _read(src, "events")
     n_ev = len(ev)
+    n_users = pc.max(ev["user_id"]).as_py() + 1  # dense 0-based user space
     copies = []
     for i in range(k):
         t = ev
@@ -125,6 +132,11 @@ def scale(src: str, dst: str, k: int) -> None:
                 t.schema.get_field_index("event_id"),
                 "event_id",
                 _offset(t["event_id"], i * n_ev),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("user_id"),
+                "user_id",
+                _offset(t["user_id"], i * n_users),
             )
             shifted = pc.add(
                 t["ts"].cast(pa.int64()),
