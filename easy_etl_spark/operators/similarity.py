@@ -228,17 +228,17 @@ def clear_centroid_cache() -> int:
 
 
 def _corpus_identity(emb: DataFrame, vec_col: str) -> tuple:
+    # BOTH the backing file list AND the semantic plan hash are in the
+    # key. Files alone are not enough: inputFiles() ignores filters /
+    # limits / projections, so emb.filter(...) over the same parquet
+    # would collide with the full corpus and silently serve the wrong
+    # centroids. The plan hash alone is not enough either: two scans
+    # of the same path have equal hashes even after the files were
+    # rewritten in place. Residual risk is only semanticHash collisions
+    # between genuinely different plans — a recall concern at worst
+    # (ANN is approximate by contract), never a correctness one.
     files = tuple(sorted(emb.inputFiles()))
-    if files:
-        return ("files",) + files + (vec_col,)
-    # no backing files (in-memory / constructed frame): key on the
-    # logical plan. semanticHash collisions would only ever reuse
-    # centroids across plans Spark itself considers equivalent-shaped;
-    # in the worst case that is a quality (recall) concern for exotic
-    # in-memory corpora, never a correctness one — ANN results are
-    # approximate by contract, and file-backed corpora (the production
-    # path) never take this branch.
-    return ("plan", emb.semanticHash(), vec_col)
+    return ("corpus", files, emb.semanticHash(), vec_col)
 
 
 def trained_centroids(
@@ -255,15 +255,16 @@ def trained_centroids(
     then query serving against frozen centroids)."""
     key = _corpus_identity(emb, vec_col) + (n_lists, sample_size, refine_iters, id_col)
     hit = _CENTROID_CACHE.get(key)
-    if hit is not None:
-        return hit
-    cents = kmeans_centroids(
-        emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_size=sample_size
-    )
-    if refine_iters > 0:
-        cents = refine_centroids(emb, cents, iters=refine_iters, vec_col=vec_col)
-    _CENTROID_CACHE[key] = cents
-    return cents
+    if hit is None:
+        hit = kmeans_centroids(
+            emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+        )
+        if refine_iters > 0:
+            hit = refine_centroids(emb, hit, iters=refine_iters, vec_col=vec_col)
+        _CENTROID_CACHE[key] = hit
+    # deep-copy out: a caller mutating the returned table (normalizing,
+    # perturbing) must not poison the cached copy for later calls
+    return [row[:] for row in hit]
 
 
 def ivf_neighbors(

@@ -242,17 +242,22 @@ def events_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_name_pairs",
     """
+    WITH v AS (SELECT DISTINCT s_name FROM supplier)
     SELECT a.s_name AS name_a, b.s_name AS name_b,
            levenshtein(a.s_name, b.s_name) AS dist
-    FROM supplier a, supplier b
+    FROM v a, v b
     WHERE a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) <= 1
     """,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 entity pairs via deletion-neighborhood blocking
     (operators/fuzzy.fuzzy_self_pairs). The oracle is the O(n²)
-    levenshtein cross join — the blocked path must find exactly the
-    same pairs without ever materializing n²."""
+    levenshtein cross join over DISTINCT names — fuzzy_self_pairs
+    declares distinct-VALUE pairs, and the two only coincide while
+    names are unique (sf1's replicated copies exposed the old
+    row-pair oracle as 100x over: 10 duplicate rows per name on each
+    side). The blocked path must find exactly the same value pairs
+    without ever materializing n²."""
     from .operators.fuzzy import fuzzy_self_pairs
 
     return fuzzy_self_pairs(load_table(spark, sf_dir, "supplier"), "s_name")

@@ -234,42 +234,55 @@ def pin_frame(df: DataFrame) -> DataFrame:
     driver, so the risk is zero; on a cluster with
     spark.dynamicAllocation.enabled (or spot/preemptible executors)
     the pin automatically upgrades to a RELIABLE checkpoint written to
-    spark.checkpoint.dir / sparkContext.setCheckpointDir when one is
-    configured — same materialize-once semantics, storage survives
-    executor churn. With dynamic allocation on but no checkpoint dir,
-    the fragile fast path is used (nothing else is possible) — set a
-    checkpoint dir on such clusters."""
+    the configured checkpoint dir — same materialize-once semantics,
+    storage survives executor churn. The upgrade additionally requires
+    spark.cleaner.referenceTracking.cleanCheckpoints=true: unlike
+    localCheckpoint blocks, reliable checkpoint FILES are only
+    reclaimed by the ContextCleaner when that conf is on (default
+    false), and pinning every banded frame of a long-running job into
+    a dir nothing ever deletes would leak unbounded storage. With
+    dynamic allocation on but no checkpoint dir (or no cleanup conf),
+    the fragile fast path is used — on such clusters set BOTH
+    sparkContext.setCheckpointDir(...) and the cleanCheckpoints conf."""
     spark = df.sparkSession
     dyn = str(spark.conf.get("spark.dynamicAllocation.enabled", "false")).lower() == "true"
-    if dyn and spark.sparkContext._jsc.sc().checkpointDir().isDefined():
+    clean = (
+        str(
+            spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints", "false")
+        ).lower()
+        == "true"
+    )
+    if dyn and clean and spark.sparkContext._jsc.sc().checkpointDir().isDefined():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
 
-def cache_mark() -> int:
-    """Number of entries the CURRENT THREAD has tracked so far. Pass it
-    to release_caches(since=...) to release only the entries this
-    thread added after the mark — scoping is by owner thread identity,
-    so a foreachBatch handler on a shared driver can never unpersist
-    caches that unrelated concurrent work (another thread) tracked
-    while the handler was running."""
+def cache_mark() -> frozenset:
+    """Identity snapshot of the entries the CURRENT THREAD has tracked
+    so far. Pass it to release_caches(since=...) to release only the
+    entries this thread added after the mark. Scoping is by owner
+    thread AND entry identity — not a count — so the mark survives a
+    concurrent blanket release_caches() from another thread (a count
+    would then silently refer to different, newer entries and leak
+    them)."""
     import threading
 
     tid = threading.get_ident()
     with _CACHE_LOCK:
-        return sum(1 for t, _ in _TRACKED_CACHE if t == tid)
+        return frozenset(id(df) for t, df in _TRACKED_CACHE if t == tid)
 
 
-def release_caches(since: int | None = None) -> int:
+def release_caches(since: frozenset | None = None) -> int:
     """Blocking-unpersist tracked cache entries; returns how many were
     released. ``since=None`` (default) releases EVERYTHING regardless
     of owning thread — the between-queries cleanup used by bench loops
-    and the oracle sweep. ``since=mark`` (a value from cache_mark())
-    releases only entries the CURRENT thread tracked at/after its own
-    mark, by identity — entries other threads appended in between are
-    untouched. Safe to call at any time: every tracked entry is a pure
-    performance cache (correctness pins use pin_frame and are not in
-    this registry), so an early release merely recomputes."""
+    and the oracle sweep. ``since=mark`` (a snapshot from cache_mark())
+    releases only entries the CURRENT thread tracked that are NOT in
+    the mark, by identity — entries other threads appended in between
+    (and the thread's own pre-mark entries) are untouched. Safe to call
+    at any time: every tracked entry is a pure performance cache
+    (correctness pins use pin_frame and are not in this registry), so
+    an early release merely recomputes."""
     import threading
 
     with _CACHE_LOCK:
@@ -278,10 +291,13 @@ def release_caches(since: int | None = None) -> int:
             _TRACKED_CACHE.clear()
         else:
             tid = threading.get_ident()
-            mine = [i for i, (t, _) in enumerate(_TRACKED_CACHE) if t == tid]
-            drop = set(mine[since:])
-            victims = [df for i, (_, df) in enumerate(_TRACKED_CACHE) if i in drop]
-            _TRACKED_CACHE[:] = [e for i, e in enumerate(_TRACKED_CACHE) if i not in drop]
+            victims = [
+                df for t, df in _TRACKED_CACHE if t == tid and id(df) not in since
+            ]
+            vict_ids = {id(df) for df in victims}
+            _TRACKED_CACHE[:] = [
+                (t, df) for t, df in _TRACKED_CACHE if id(df) not in vict_ids
+            ]
     n = 0
     for df in victims:
         try:

@@ -98,12 +98,29 @@ def test_refine_centroids_determinism(spark, sf_dir):
     assert np.allclose(np.array(a), np.array(c), rtol=1e-9, atol=1e-9)
 
 
-def test_trained_centroids_cached_per_corpus_and_params(spark, sf_dir):
+def test_trained_centroids_cached_per_corpus_and_params(spark, sf_dir, monkeypatch):
     emb = load_table(spark, sf_dir, "embeddings")
     similarity.clear_centroid_cache()
+    trainings = []
+    orig = similarity.kmeans_centroids
+
+    def counting(*a, **k):
+        trainings.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(similarity, "kmeans_centroids", counting)
     a = similarity.trained_centroids(emb, n_lists=8, refine_iters=1)
     b = similarity.trained_centroids(emb, n_lists=8, refine_iters=1)
-    assert b is a  # served from cache, no retraining job
+    assert b == a and b is not a  # cache hit returns an equal COPY
+    assert len(trainings) == 1  # second call trained nothing
+    # mutating a returned table must not poison the cache
+    b[0][0] += 1e9
+    assert similarity.trained_centroids(emb, n_lists=8, refine_iters=1) == a
     c = similarity.trained_centroids(emb, n_lists=4, refine_iters=1)
-    assert c is not a and len(c) == 4  # params are part of the key
-    assert similarity.clear_centroid_cache() == 2
+    assert len(c) == 4 and len(trainings) == 2  # params are part of the key
+    # a FILTERED frame over the same parquet files is a different
+    # corpus: inputFiles() alone would collide, the plan hash in the
+    # key must force a retrain
+    similarity.trained_centroids(emb.filter("vec_id < 250"), n_lists=8, refine_iters=1)
+    assert len(trainings) == 3
+    assert similarity.clear_centroid_cache() == 3

@@ -96,9 +96,10 @@ def test_table_exists_requires_exact_name_not_like_pattern(spark, tmp_path_facto
 # ----------------------------------------------------------------------
 
 def test_gen_sf_refuses_k_beyond_caesar_period(tmp_path):
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import gen_sf
 
     with pytest.raises(ValueError, match="26"):
@@ -235,3 +236,21 @@ def test_item_recommendations_anchor_plan_uses_take_ordered(spark, sf_dir):
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line:
             assert "Sort [" not in " ".join(lines[max(0, i - 2) : i])
+
+
+def test_mark_survives_concurrent_blanket_release(spark, sf_dir):
+    """A mark must be an identity snapshot, not a count: after another
+    actor blanket-releases the registry, a scoped release against the
+    old mark must still free ALL of this thread's newer entries (a
+    count-based mark would silently skip the first `mark` of them)."""
+    release_caches()
+    track_cache(load_table(spark, sf_dir, "region").select("r_regionkey"))
+    track_cache(load_table(spark, sf_dir, "region").select("r_name"))
+    mark = cache_mark()  # snapshot of 2 entries
+    release_caches()  # concurrent blanket release clears everything
+    newer = [
+        track_cache(load_table(spark, sf_dir, "nation").select(c))
+        for c in ("n_nationkey", "n_name", "n_regionkey")
+    ]
+    assert release_caches(since=mark) == 3  # count-based mark would say 1
+    assert all(df.storageLevel.useMemory is False for df in newer)

@@ -38,6 +38,11 @@ def main() -> None:
     from easy_etl_spark.queries import QUERIES
 
     dirs = [d for d in (sys.argv[1:] or DEFAULT_DIRS) if os.path.isdir(d)]
+    if not dirs:
+        sys.exit(
+            "scale_report: no rung directory exists — pass parquet dirs as "
+            "arguments or generate one with tools/gen_sf.py"
+        )
     names = HEADLINE + HEADLINE_V2
     spark = get_spark("easy-etl-spark-scale-report")
 
@@ -49,17 +54,27 @@ def main() -> None:
             pass
     release_caches()
 
-    rows: dict[str, list[float]] = {n: [] for n in names}
+    rows: dict[str, list] = {n: [] for n in names}
     for d in dirs:
         _prime_ivf(spark, d)
         for name in names:
+            # one query failing at one rung (OOM at the largest SF, a
+            # missing optional table) must not discard every timing
+            # already collected — record None and keep sweeping
             t0 = time.perf_counter()
-            QUERIES[name](spark, d).write.mode("overwrite").format("noop").save()
-            rows[name].append(round(time.perf_counter() - t0, 3))
+            try:
+                QUERIES[name](spark, d).write.mode("overwrite").format("noop").save()
+                rows[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as e:
+                print(f"FAIL {name} @ {d}: {e}", file=sys.stderr)
+                rows[name].append(None)
             release_caches()
 
     ratios = {
-        n: [round(v[i + 1] / v[i], 2) if v[i] > 0 else None for i in range(len(v) - 1)]
+        n: [
+            round(v[i + 1] / v[i], 2) if v[i] and v[i + 1] else None
+            for i in range(len(v) - 1)
+        ]
         for n, v in rows.items()
     }
     print(
@@ -67,7 +82,10 @@ def main() -> None:
             {
                 "dirs": dirs,
                 "rows": rows,
-                "totals": [round(sum(v[i] for v in rows.values()), 3) for i in range(len(dirs))],
+                "totals": [
+                    round(sum(v[i] for v in rows.values() if v[i] is not None), 3)
+                    for i in range(len(dirs))
+                ],
                 "ratios": ratios,
             }
         )
