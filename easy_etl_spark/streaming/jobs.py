@@ -22,10 +22,13 @@ from pyspark.sql.streaming import DataStreamWriter
 from .windows import _dec_sum
 
 
-def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, schema=None, options: dict | None = None
+) -> DataFrame:
     """File-based stream over an events parquet directory. On a real
     deployment this is the Kafka/file-drop source; schema must be
-    explicit for streaming reads."""
+    explicit for streaming reads. ``options`` are SOURCE options
+    (e.g. maxFilesPerTrigger — a reader knob, not a writer one)."""
     # pin the nanosecond-parquet conf and UTC so this works under any
     # caller's session, not just get_spark()'s (same as load_table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -33,7 +36,10 @@ def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame
     if schema is None:
         static = spark.read.parquet(path)
         schema = static.schema
-    df = spark.readStream.schema(schema).format("parquet").load(path)
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.format("parquet").load(path)
     # nanosecond-timestamp parquet arrives as long under nanosAsLong
     if dict(df.dtypes).get("ts") == "bigint":
         # integer `div` (float division would round the >2^53 ns long)
