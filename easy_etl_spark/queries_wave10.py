@@ -78,9 +78,17 @@ def bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     as soon as the frontier stops growing. The DuckDB oracle replays
     the identical bounded walk as a recursive CTE."""
     li = _t(spark, sf_dir, "lineitem")
-    edges = _copurchase_edges(li)
-    source = edges.agg(F.min("src")).first()[0]
-    dist = bfs_hops(edges, source, max_hops=4)
+    # Persist the self-join-derived edge list once: the source-pick
+    # aggregate below and every BFS round inside bfs_hops re-read it
+    # (bfs_hops re-persists the same frame — a no-op — and drops the
+    # cache when its loop ends; dist is checkpointed, so the returned
+    # histogram never re-reads edges).
+    edges = _copurchase_edges(li).persist()
+    try:
+        source = edges.agg(F.min("src")).first()[0]
+        dist = bfs_hops(edges, source, max_hops=4)
+    finally:
+        edges.unpersist()
     return dist.groupBy(F.col("d").alias("hops")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )

@@ -41,13 +41,19 @@ def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree (parent of k = k div 2), and the recursion descends from the
     root collecting per-depth headcount and account-balance cents —
     the org-chart / BOM-rollup query shape that previously required a
-    driver-side loop. The DuckDB oracle runs the SAME recursive SQL.
+    driver-side loop. The DuckDB oracle runs an independently-phrased
+    recursive SQL (OR-join step) over the same tree.
 
-    Scale: each recursion level is one equi-ish join of the frontier
-    against the customer dim — the engine materializes level by level
-    exactly like the hand-written Pregel loops (graph.bfs_hops), but
-    plans/reuses it internally; depth is log2(|customers|), so ~30
-    levels even at billions of rows."""
+    Scale: the recursive step EXPLODES each frontier node into its two
+    child keys and equi-joins them against the customer dim — a hash
+    join per level, never a nested-loop scan. (The naive phrasing
+    `ON c_custkey = 2*k OR c_custkey = 2*k+1` is a non-equi predicate
+    that Spark must plan as a broadcast nested-loop join each level —
+    measured 15.7x slower at sf1: 157 s vs 10 s for this form.) The
+    engine materializes level by level exactly like the hand-written
+    Pregel loops (graph.bfs_hops) but plans/reuses it internally;
+    depth is log2(|customers|), so ~30 levels even at billions of
+    rows."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
@@ -55,9 +61,10 @@ def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth,
                  (SELECT c_acctbal FROM customer WHERE c_custkey = 1) AS bal
           UNION ALL
-          SELECT c.c_custkey, o.depth + 1, c.c_acctbal
-          FROM org o JOIN customer c
-            ON c.c_custkey = 2 * o.k OR c.c_custkey = 2 * o.k + 1
+          SELECT c.c_custkey, f.depth + 1, c.c_acctbal
+          FROM (SELECT explode(array(2 * k, 2 * k + 1)) AS child, depth
+                FROM org) f
+          JOIN customer c ON c.c_custkey = f.child
         )
         SELECT depth, count(*) AS n,
                CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
