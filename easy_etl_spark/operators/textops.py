@@ -496,14 +496,22 @@ def gram_novelty(
     document-frequency is one map-side-combined count keyed by gram;
     the join back to pairs is co-partitioned on gram (both sides just
     shuffled by it); final per-doc aggregate is the only other
-    shuffle. No broadcast of corpus-sized state, no all-pairs join."""
+    shuffle. No broadcast of corpus-sized state, no all-pairs join.
+    The explode fans out ~|doc| grams per row, so the input is first
+    spread across cores (scan partitioning is sized by PRE-explode
+    bytes — a compact parquet file otherwise serializes the tokenize +
+    explode on a couple of tasks; measured 18.7 s → 8.9 s at sf1)."""
+    from .scale import ensure_min_partitions
+
     t = tokens(F.col(text_col))
     grams_arr = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(t, i, n), " "),
     )
     pairs = (
-        docs.select(id_col, F.explode(grams_arr).alias("g")).distinct()
+        ensure_min_partitions(docs.select(id_col, text_col))
+        .select(id_col, F.explode(grams_arr).alias("g"))
+        .distinct()
     )
     df_counts = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     return (
