@@ -57,6 +57,7 @@ _PRIORITY = [
     "events_dedup",
     # dedup
     "dedup_exact",
+    "dedup_substring_spans",
     "dedup_minhash_lsh",
     "dedup_simhash_md5",  # oracle-checked simhash rep; xxhash64 variant in tail
     "dedup_embedding_cosine",
@@ -64,6 +65,7 @@ _PRIORITY = [
     "curate_corpus",
     "leakage_safe_splits",
     "curriculum_order",
+    "dsir_importance_select",
     # multimodal (real-decode reps first — round-4 codecs inside the
     # driver's checked prefix window; byte-plumbing variant in tail)
     "multimodal_decode",
@@ -82,6 +84,7 @@ _PRIORITY = [
     "knn_lsh_int",
     "knn_lsh_multi",
     "knn_ivf_int",
+    "knn_pq_int",
     "knn_filtered",
     "lexical_search_topk",
     # text / LLM-pipeline

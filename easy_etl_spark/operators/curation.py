@@ -180,3 +180,100 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_filter,
+    n_select: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every raw document by how much its unigram
+    distribution resembles a TARGET slice rather than the raw corpus,
+    then Gumbel-top-k sample ``n_select`` docs with probability
+    proportional to exp(score) — the standard way to tilt a web-scale
+    corpus toward a quality/domain distribution without hard filters.
+
+    ``target_filter`` is a Column predicate over ``docs`` defining the
+    target slice (e.g. ``F.col("lang") == "en"``).
+
+    Exactness contract (the unigram_logprob pattern): per-token
+    log-likelihood ratios are integer-quantized BEFORE summation —
+    lr_units(tok) = qln((c_t+1)/(T+V)) - qln((c_r+1)/(R+V)) with
+    qln(x) = floor(ln(x)*1e6 + 0.5) as BIGINT — so doc scores are
+    exact integer sums, reproducible under any partitioning and
+    bit-replayable by the DuckDB oracle. The Gumbel noise is
+    derandomized the same way: u = (md5int(doc_id) % 1e6 + 0.5)/1e6,
+    g_units = -qln(-qln(u)/1e6); selection key = score_units +
+    g_units (Gumbel-max ~ sampling w/o replacement proportional to
+    exp(score)). All inputs to ln are rationals of integers, so both
+    engines feed ln identical doubles.
+
+    Scale: one token explode (fanned out across cores), ONE
+    map-side-combined count per token carrying a target-flag sum, a
+    token-keyed join back (both sides shuffled by token), a per-doc
+    sum, and a TakeOrdered top-k — no broadcast of corpus-sized
+    state, no global sort."""
+    from .scale import ensure_min_partitions
+    from .textops import tokens
+
+    def qln(x):
+        return F.floor(F.log(x) * 1e6 + F.lit(0.5)).cast("long")
+
+    toks = ensure_min_partitions(
+        docs.select(id_col, text_col, target_filter.alias("__is_t"))
+    ).select(
+        id_col,
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+        F.col("__is_t").cast("long").alias("__is_t"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__cr"), F.sum("__is_t").alias("__ct")
+    )
+    tot = cnt.agg(
+        F.sum("__cr").alias("__R"),
+        F.sum("__ct").alias("__T"),
+        F.count(F.lit(1)).alias("__V"),
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (
+            qln((F.col("__ct") + 1) / (F.col("__T") + F.col("__V")))
+            - qln((F.col("__cr") + 1) / (F.col("__R") + F.col("__V")))
+        ).alias("__lr"),
+    )
+    scored = (
+        toks.join(lr, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__lr").alias("score_units"),
+        )
+    )
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 1000000
+        )
+        + F.lit(0.5)
+    ) / 1e6
+    keyed = scored.withColumn(
+        "key_units", F.col("score_units") - qln(-qln(u) / 1e6)
+    )
+    return (
+        keyed.orderBy(F.desc("key_units"), id_col)
+        .limit(n_select)
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "score_units",
+            (
+                F.round(F.col("score_units") / 1e6 / F.col("n_tokens"), 4)
+                + F.lit(0.0)  # kill IEEE -0.0 (catalog hash convention)
+            ).alias("avg_logratio"),
+            "key_units",
+        )
+    )

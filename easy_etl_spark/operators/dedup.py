@@ -26,7 +26,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import track_cache
@@ -643,4 +643,97 @@ def incremental_dups_against_index(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "base_id", "jaccard")
+    )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication summary (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    operator, token-granular): for every doc, the maximal token spans
+    covered by some ``min_len``-gram that occurs MORE THAN ONCE in the
+    whole corpus (other docs or elsewhere in the same doc — both are
+    memorization risks). Returns one row per doc:
+    (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac) where
+    dup_tokens counts tokens inside the merged spans — the exact
+    amount a span-removal pass would cut.
+
+    The reference paper builds a corpus-wide suffix array; that is a
+    sequential construction with no good shuffle decomposition. The
+    Spark-first equivalent: positional min_len-grams are the
+    suffix-array match seeds (any duplicated substring of length >=
+    min_len is a run of duplicated min_len-grams and vice versa), so
+    exploding (doc, pos, gram), counting gram occurrences, and merging
+    surviving positions into intervals reproduces the same maximal
+    spans with three keyed shuffles — gram count (map-side combined),
+    join back on gram, per-doc interval merge (window PARTITIONED by
+    doc). Interval merge: positions p, p' (p < p') coalesce while
+    p' - p <= min_len (their [p, p+min_len-1] coverage windows touch
+    or overlap), so a run's covered tokens are contiguous. The
+    explode is fanned out across cores first (scan partitioning is
+    sized by pre-explode bytes)."""
+    from .scale import ensure_min_partitions
+
+    from .textops import tokens
+
+    L = min_len
+    base = ensure_min_partitions(docs.select(id_col, text_col)).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__t") >= L,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (L - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("__t", i, L), " ").alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+        ).alias("pg"),
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__occ"))
+    dup_pos = grams.join(occ.filter(F.col("__occ") > 1), "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        dup_pos.withColumn(
+            "__new",
+            F.when(
+                (F.col("pos") - F.lag("pos").over(w)) <= L, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__run")
+        .agg((F.max("pos") - F.min("pos") + L).alias("__span_toks"))
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__span_toks").alias("dup_tokens"),
+    )
+    return (
+        base.select(id_col, F.size("__t").cast("bigint").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("dup_frac"),
+        )
     )

@@ -990,3 +990,89 @@ def semantic_dedup_int(
             F.col("__loser").isNull().alias("kept"),
         )
     )
+
+
+def int_pq_neighbors(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the Jégou et al. 2011 memory-scale path that IVF/LSH do
+    not cover: vectors are stored as m sub-space codebook indices
+    (m·log2(ks) bits instead of 4·dim bytes, 32x smaller at the
+    defaults), and search scores EXACT query sub-vectors against the
+    codewords each corpus vector compressed to.
+
+    Pinned-integer contract (the int_ivf_neighbors pattern): vectors
+    quantize to BIGINT via qvec; each sub-space's codebook is the ks
+    lowest-id vectors' sub-vectors (a bounded ks-row collect — the
+    production analogue trains per-sub-space k-means, which only moves
+    the codewords, not the plumbing); encoding takes the argmin
+    integer-d² codeword (tie → lowest index); ADC distance is the
+    integer sum over sub-spaces of d²(query sub-vector, codeword).
+    Every decision is an exact integer the DuckDB oracle replays
+    bit-for-bit.
+
+    Scale: codebooks are literal arrays folded into ONE map pass that
+    encodes the corpus (no shuffle, no join — at 100 TB this is the
+    pass that writes the compressed index); scoring broadcasts the
+    query side and computes each query's per-sub-space distance table
+    as Column algebra over the same literals, so the only shuffle is
+    the final per-query top-k window over an n·|queries| scored frame
+    — same shape as brute force but over codes, which is what makes
+    the re-rank cheap when n is huge."""
+    sub = None
+    corpus = emb.select(F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q"))
+    seeds = corpus.orderBy("__id").limit(ks).collect()
+    dim = len(seeds[0]["__q"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} sub-spaces")
+    sub = dim // m
+    # codebooks[mi][j] = sub-vector of the j-th lowest-id seed
+    books = [
+        [list(r["__q"])[mi * sub : (mi + 1) * sub] for r in seeds]
+        for mi in range(m)
+    ]
+
+    def lit_vec(v):
+        return F.array(*[F.lit(int(x)) for x in v])
+
+    def code(vec: Column, mi: int) -> Column:
+        s = F.slice(vec, mi * sub + 1, sub)
+        alts = [
+            F.struct(_d2_int(s, lit_vec(books[mi][j])).alias("d2"), F.lit(j).alias("j"))
+            for j in range(ks)
+        ]
+        return F.array_min(F.array(*alts))["j"]
+
+    encoded = corpus.select(
+        "__id", *[code(F.col("__q"), mi).alias(f"__c{mi}") for mi in range(m)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("__qid"), qvec(F.col(vec_col)).alias("__qq")
+    )
+    # per-query ADC tables: lut[mi] = array of d²(query sub-vec, codeword j)
+    for mi in range(m):
+        s = F.slice(F.col("__qq"), mi * sub + 1, sub)
+        q = q.withColumn(
+            f"__lut{mi}", F.array(*[_d2_int(s, lit_vec(books[mi][j])) for j in range(ks)])
+        )
+    adc = sum(
+        F.element_at(F.col(f"__lut{mi}"), F.col(f"__c{mi}") + 1)
+        for mi in range(m)
+    )
+    scored = (
+        encoded.join(F.broadcast(q.drop("__qq")), F.col("__qid") != F.col("__id"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            adc.alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -1,0 +1,194 @@
+"""Wave-36 query catalog: exact substring-span dedup, DSIR importance
+resampling, and product-quantization ANN.
+
+New operator families:
+  - dedup_substring_spans   Lee-et-al.-style exact substring dedup:
+                            maximal duplicated token spans per doc
+                            (n-gram seeds instead of a suffix array —
+                            the shuffle-decomposable equivalent)
+  - dsir_importance_select  DSIR (Xie et al. 2023): integer-exact
+                            unigram importance weights + derandomized
+                            Gumbel-top-k selection toward a target
+                            slice
+  - knn_pq_int              product quantization with ADC scoring
+                            (Jégou et al. 2011) under the pinned
+                            integer contract of knn_ivf_int/knn_lsh_int
+
+Hash-safety follows the catalog conventions (queries.py docstring):
+every float that reaches the output is a deterministic function of
+exact integers, and both engines feed ln identical rational doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import similarity
+from .operators.curation import dsir_select
+from .operators.dedup import duplicate_substring_spans
+from .queries import register
+from .session import load_table
+
+_PAIR_D2 = (
+    "CAST(list_sum(list_zip({a}, {b}).apply(p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+)
+_QV = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i.i AS pos, array_to_string(toks[i.i:i.i + 7], ' ') AS g
+      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS i(i)
+      WHERE len(toks) >= 8
+    ),
+    occ AS (SELECT g, count(*) AS occ FROM g GROUP BY g),
+    d AS (SELECT doc_id, pos FROM g JOIN occ USING (g) WHERE occ > 1),
+    r AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS new_run
+      FROM d
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM r
+    ),
+    spans AS (
+      SELECT doc_id, run, max(pos) - min(pos) + 8 AS span_toks
+      FROM runs GROUP BY doc_id, run
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             CAST(sum(span_toks) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(dup_tokens, 0) * 1.0 / len(toks), 4) AS dup_frac
+    FROM t LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup summary (operators/dedup.
+    duplicate_substring_spans): per doc, the maximal token spans
+    covered by 8-grams occurring more than once corpus-wide — the
+    span-removal accounting of Lee et al. 2022, with positional
+    n-grams as the distributed stand-in for the paper's suffix array.
+    The DuckDB oracle replays the identical seed/merge pipeline."""
+    return duplicate_substring_spans(
+        load_table(spark, sf_dir, "documents"), min_len=8
+    )
+
+
+@register(
+    "dsir_importance_select",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+      FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS cr, sum(is_t) AS ct FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cr) AS R, sum(ct) AS T, count(*) AS V FROM cnt),
+    lr AS (
+      SELECT tok,
+             CAST(floor(ln((ct + 1) * 1.0 / (T + V)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln((cr + 1) * 1.0 / (R + V)) * 1000000 + 0.5) AS BIGINT)
+             AS lr
+      FROM cnt CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens, CAST(sum(lr) AS BIGINT) AS score_units
+      FROM toks JOIN lr USING (tok) GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT *,
+             score_units - CAST(floor(ln(
+               -CAST(floor(ln(
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000) + 0.5) / 1000000.0
+               ) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             ) * 1000000 + 0.5) AS BIGINT) AS key_units
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score_units,
+           round(score_units / 1000000.0 / n_tokens, 4) + 0.0 AS avg_logratio,
+           key_units
+    FROM keyed ORDER BY key_units DESC, doc_id LIMIT 200
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the English slice
+    (operators/curation.dsir_select): integer-quantized unigram
+    log-likelihood ratios, md5-derandomized Gumbel-top-k — 200 docs
+    sampled proportional to exp(score), bit-replayed by the oracle."""
+    return dsir_select(
+        load_table(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        n_select=200,
+    )
+
+
+def _pq_int_oracle(m: int = 4, ks: int = 16, sub: int = 16) -> str:
+    """DuckDB twin of similarity.int_pq_neighbors: pinned lowest-id
+    codebooks, argmin integer-d² encoding (tie → lowest codeword),
+    exact integer ADC sums."""
+    return f"""
+    WITH v AS (SELECT vec_id, {_QV} AS q FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q
+      FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {ks})
+    ),
+    cw AS (
+      SELECT j, s.mi, q[(s.mi * {sub} + 1):(s.mi * {sub} + {sub})] AS cv
+      FROM seeds, UNNEST(generate_series(0, {m - 1})) AS s(mi)
+    ),
+    subs AS (
+      SELECT vec_id, s.mi, q[(s.mi * {sub} + 1):(s.mi * {sub} + {sub})] AS sub
+      FROM v, UNNEST(generate_series(0, {m - 1})) AS s(mi)
+    ),
+    enc AS (
+      SELECT vec_id, mi, j AS code FROM (
+        SELECT subs.vec_id, subs.mi, cw.j,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.mi
+                 ORDER BY {_PAIR_D2.format(a="subs.sub", b="cw.cv")}, cw.j) AS rn
+        FROM subs JOIN cw ON cw.mi = subs.mi
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(sum({_PAIR_D2.format(a="qs.sub", b="cw.cv")}) AS BIGINT)
+               AS adc_d2
+      FROM (SELECT * FROM subs WHERE vec_id < 5) qs
+      JOIN enc e ON e.mi = qs.mi AND e.vec_id != qs.vec_id
+      JOIN cw ON cw.mi = e.mi AND cw.j = e.code
+      GROUP BY qs.vec_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_d2, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= 10
+    """
+
+
+@register("knn_pq_int", _pq_int_oracle())
+def knn_pq_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked product-quantization ANN
+    (similarity.int_pq_neighbors): 4 sub-spaces x 16 pinned codewords,
+    asymmetric-distance scoring — the compressed-index search mode
+    that completes the ANN family next to brute force / LSH / IVF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.int_pq_neighbors(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", "adc_d2", "rnk"
+    )

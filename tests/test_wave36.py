@@ -1,0 +1,194 @@
+"""Wave-36 pins: semantic contracts for exact substring-span dedup,
+DSIR importance selection, and product-quantization ANN (the DuckDB
+oracle is the primary gate; these pin what a twin query can't —
+hand-built span geometry, selection tilt, recall, determinism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from easy_etl_spark.operators import similarity
+from easy_etl_spark.operators.curation import dsir_select
+from easy_etl_spark.operators.dedup import duplicate_substring_spans
+from easy_etl_spark.session import load_table
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_substring_spans_hand_built_geometry(spark):
+    """Exact span accounting on a constructed corpus: a shared 8-gram
+    region produces one merged span in both docs covering exactly the
+    shared tokens; unique docs report zero."""
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    docs = _mkdocs(
+        spark,
+        [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 b2 {shared} b3 b4 b5 b6"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens)
+        for r in duplicate_substring_spans(docs, min_len=8).collect()
+    }
+    # the 10 shared tokens hold 3 duplicated 8-grams (positions p,
+    # p+1, p+2) -> one merged span of 10 tokens in each doc
+    assert got[1] == (1, 10)
+    assert got[2] == (1, 10)
+    assert got[3] == (0, 0)
+
+
+def test_substring_spans_within_doc_and_short_docs(spark):
+    """A repeat INSIDE one doc counts (memorization risk), docs
+    shorter than min_len produce no grams but still report a row."""
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = _mkdocs(
+        spark,
+        [
+            (1, f"{rep} x1 x2 {rep}"),  # self-repeat
+            (2, "tiny doc"),  # < min_len tokens
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+        for r in duplicate_substring_spans(docs, min_len=8).collect()
+    }
+    # both copies of the 8-gram are duplicated; positions 1 and 11
+    # differ by 10 > min_len so they stay SEPARATE spans of 8 tokens
+    assert got[1] == (18, 2, 16)
+    assert got[2] == (2, 0, 0)
+
+
+def test_substring_spans_overlap_merge(spark):
+    """Two duplicated regions closer than min_len merge into one
+    contiguous covered span (interval union, not per-seed counting)."""
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    # doc 3 carries a...b with a 4-token gap: coverage [1,8] and
+    # [13,20] from seeds at pos 1 and 13 -> gap 12 > 8 keeps them
+    # separate; doc 4's gap of 0 merges them
+    docs = _mkdocs(
+        spark,
+        [
+            (1, a),
+            (2, b),
+            (3, f"{a} g1 g2 g3 g4 {b}"),
+            (4, f"{a} {b}"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens)
+        for r in duplicate_substring_spans(docs, min_len=8).collect()
+    }
+    assert got[3] == (2, 16)
+    assert got[4] == (1, 16)
+
+
+def test_substring_spans_partition_invariance(spark, sf_dir):
+    """Bit-identical output under a different input layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, duplicate_substring_spans(docs, 8).collect())
+    )
+    b = sorted(
+        map(tuple, duplicate_substring_spans(docs.repartition(7), 8).collect())
+    )
+    assert a == b
+
+
+def test_dsir_tilts_selection_toward_target(spark, sf_dir):
+    """The selected set must over-represent target-like mass: its mean
+    importance score exceeds the corpus mean (Gumbel noise can pick
+    some low-score docs, but the tilt must be positive), and exactly
+    n_select rows come back."""
+    docs = load_table(spark, sf_dir, "documents")
+    sel = dsir_select(docs, F.col("lang") == "en", n_select=100)
+    rows = sel.collect()
+    assert len(rows) == 100
+    all_scores = dsir_select(docs, F.col("lang") == "en", n_select=10**6)
+    mean_all = all_scores.agg(F.avg("score_units")).first()[0]
+    mean_sel = sum(r.score_units for r in rows) / len(rows)
+    assert mean_sel > mean_all
+
+
+def test_dsir_deterministic_under_layout(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, dsir_select(docs, F.col("lang") == "en", 50).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_select(docs.repartition(13), F.col("lang") == "en", 50).collect(),
+        )
+    )
+    assert a == b
+
+
+def _int_vecs(emb):
+    """Independent numpy replay of similarity.qvec quantization."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    return {
+        r.vec_id: np.floor(
+            np.asarray(r.embedding, dtype=np.float64) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        for r in rows
+    }
+
+
+def test_pq_recall_against_numpy_exact(spark, sf_dir):
+    """ADC over 4x16 pinned codebooks is lossy but must keep usable
+    recall@10 vs an exact integer-d2 top-10 replayed in numpy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    pq_sets: dict = {}
+    for r in similarity.int_pq_neighbors(emb, queries, k=10).collect():
+        pq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    vecs = _int_vecs(emb)
+    hits = tot = 0
+    for qid in range(5):
+        d2 = sorted(
+            (int(((v - vecs[qid]) ** 2).sum()), n)
+            for n, v in vecs.items()
+            if n != qid
+        )[:10]
+        for _, n in d2:
+            tot += 1
+            hits += n in pq_sets[qid]
+    assert tot == 50
+    assert hits / tot >= 0.3, f"recall@10 {hits/tot}"
+
+
+def test_pq_adc_exact_on_codebook_members(spark, sf_dir):
+    """A vector that IS a codeword in every sub-space encodes to
+    itself, so its ADC distance from any query equals the exact
+    integer d2 (numpy replay) — pin this identity for seed vectors
+    that reach the top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2)
+    vecs = _int_vecs(emb)
+    seed_ids = set(sorted(vecs)[:16])
+    checked = 0
+    # k large enough that every corpus vector (seeds included) is ranked
+    for r in similarity.int_pq_neighbors(emb, queries, k=len(vecs)).collect():
+        if r.neighbor_id in seed_ids:
+            exact = int(((vecs[r.neighbor_id] - vecs[r.query_id]) ** 2).sum())
+            assert r.adc_d2 == exact, (r.query_id, r.neighbor_id)
+            checked += 1
+    assert checked == 2 * 16 - 2  # both queries are themselves seeds
+
+
+def test_pq_deterministic_under_layout(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, similarity.int_pq_neighbors(emb, queries, k=10).collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.int_pq_neighbors(emb.repartition(9), queries, k=10).collect(),
+        )
+    )
+    assert a == b
