@@ -58,6 +58,7 @@ _PRIORITY = [
     # dedup
     "dedup_exact",
     "dedup_substring_spans",
+    "cdc_chunk_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash_md5",  # oracle-checked simhash rep; xxhash64 variant in tail
     "dedup_embedding_cosine",

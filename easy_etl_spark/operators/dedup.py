@@ -737,3 +737,122 @@ def duplicate_substring_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    window: int = 8,
+    mask_bits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/Gear idea at token
+    granularity): cut every doc into variable-size chunks at positions
+    where a rolling hash of the last ``window`` token hashes lands on
+    a ``mask_bits``-zero residue, fingerprint each chunk, and report
+    per doc how much of it is chunk-level duplicated corpus-wide.
+    Content-defined cuts survive insertions/deletions that shift
+    offsets — the property fixed-size blocks lack and the reason
+    backup/dataset-versioning systems chunk this way; a one-token edit
+    re-fingerprints only the chunk it lands in.
+
+    Returns (doc_id, n_chunks, dup_chunks, dup_frac) where dup_chunks
+    counts chunks whose fingerprint occurs MORE THAN ONCE in the whole
+    corpus (other docs or elsewhere in the same doc).
+
+    Portability contract: token hashes are md5-derived integers mod
+    2^20, the rolling hash is an integer windowed sum of shifted token
+    hashes mod 2147483647, and fingerprints are md5 of the chunk text
+    — every cut decision is an exact integer the DuckDB oracle replays
+    bit-for-bit.
+
+    Scale shape: hashes and boundary flags are per-row Column algebra
+    (O(window) per token, no shuffle); chunk assembly is one per-doc
+    window prefix-sum + one groupBy (both PARTITIONED by doc);
+    fingerprint occurrence is a map-side-combined count joined back on
+    the fingerprint key. The token explode is fanned out across cores
+    first (pre-explode-bytes scan partitioning, as in gram_novelty)."""
+    from .scale import ensure_min_partitions
+    from .textops import tokens
+
+    P = 2147483647
+    mask = 1 << mask_bits
+    base = ensure_min_partitions(docs.select(id_col, text_col)).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    th = F.transform(
+        F.col("__t"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+        % F.lit(1 << 20),
+    )
+    hashed = base.withColumn("__th", th)
+    # rolling gear hash at i: sum of the last `window` token hashes,
+    # each shifted by its distance (2^(i-j) exact in a double up to
+    # 2^53; window stays far below), mod P
+    roll = F.transform(
+        F.sequence(F.lit(1), F.size("__th")),
+        lambda i: F.aggregate(
+            F.sequence(F.greatest(F.lit(1), i - (window - 1)), i),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.element_at(F.col("__th"), j)
+            * F.pow(F.lit(2.0), (i - j).cast("double")).cast("long"),
+        )
+        % F.lit(P),
+    )
+    pos = (
+        hashed.withColumn("__roll", roll)
+        .select(
+            id_col,
+            F.posexplode(
+                F.zip_with(
+                    F.col("__t"),
+                    F.col("__roll"),
+                    lambda t, r: F.struct(
+                        t.alias("tok"), (r % mask == 0).alias("cut")
+                    ),
+                )
+            ).alias("pos0", "pc"),
+        )
+        .select(
+            id_col,
+            F.col("pos0").alias("pos"),
+            F.col("pc.tok").alias("tok"),
+            F.col("pc.cut").cast("long").alias("cut"),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = (
+        pos.withColumn("__chunk", F.coalesce(F.sum("cut").over(w), F.lit(0)))
+        .groupBy(id_col, "__chunk")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("fp")
+        )
+    )
+    occ = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("__occ"))
+    return (
+        chunks.join(occ, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__occ") > 1).cast("bigint")).alias("dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "dup_chunks",
+            F.round(F.col("dup_chunks") / F.col("n_chunks"), 4).alias("dup_frac"),
+        )
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .operators import similarity
 from .operators.curation import dsir_select
-from .operators.dedup import duplicate_substring_spans
+from .operators.dedup import cdc_chunk_dedup, duplicate_substring_spans
 from .queries import register
 from .session import load_table
 
@@ -192,3 +192,56 @@ def knn_pq_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int_pq_neighbors(emb, queries_df, k=10).select(
         "query_id", "neighbor_id", "adc_d2", "rnk"
     )
+
+
+@register(
+    "cdc_chunk_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    th AS (
+      SELECT doc_id, toks,
+             list_transform(toks,
+               x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 1048576) AS hs
+      FROM t
+    ),
+    rl AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, len(hs)), i ->
+               (list_sum(list_transform(generate_series(greatest(1, i - 7), i),
+                  j -> hs[j] * CAST(2**(i - j) AS BIGINT))) % 2147483647)) AS roll
+      FROM th
+    ),
+    pos AS (
+      SELECT doc_id, i.i AS pos, toks[i.i] AS tok,
+             CASE WHEN roll[i.i] % 32 = 0 THEN 1 ELSE 0 END AS cut
+      FROM rl, UNNEST(generate_series(1, len(toks))) AS i(i)
+    ),
+    ch AS (
+      SELECT doc_id, pos, tok,
+             coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      FROM pos
+    ),
+    fp AS (
+      SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+      FROM ch GROUP BY doc_id, chunk
+    ),
+    occ AS (SELECT fp, count(*) AS occ FROM fp GROUP BY fp)
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS dup_frac
+    FROM fp JOIN occ USING (fp) GROUP BY doc_id
+    """,
+)
+def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/dedup.cdc_chunk_dedup):
+    FastCDC-style rolling-hash cuts at token granularity, md5 chunk
+    fingerprints, per-doc chunk-duplication accounting — the
+    storage-level dedup mode (backup systems, dataset versioning)
+    whose cuts survive offset-shifting edits. The DuckDB oracle
+    replays hash/cut/fingerprint decisions bit-for-bit."""
+    return cdc_chunk_dedup(load_table(spark, sf_dir, "documents"))

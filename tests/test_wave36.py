@@ -192,3 +192,36 @@ def test_pq_deterministic_under_layout(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_cdc_chunks_survive_offset_shift(spark):
+    """The defining CDC property: prepending tokens to a doc shifts
+    every offset, but content-defined cuts re-synchronize, so most
+    chunk fingerprints survive — a fixed-size chunker would lose ALL
+    of them. Verify via a corpus of one long doc and its shifted twin
+    sharing most chunks."""
+    from easy_etl_spark.operators.dedup import cdc_chunk_dedup
+
+    body = " ".join(f"w{i * 7919 % 1000}x{i}" for i in range(400))
+    docs = _mkdocs(spark, [(1, body), (2, "zzz qqq " + body)])
+    got = {r.doc_id: (r.n_chunks, r.dup_chunks) for r in cdc_chunk_dedup(docs).collect()}
+    n1, d1 = got[1]
+    n2, d2 = got[2]
+    # the shifted twin must share well over half its chunks with the
+    # original (only the chunk containing the edit plus the window
+    # resync region can differ)
+    assert d1 >= n1 * 0.6, got
+    assert d2 >= n2 * 0.6, got
+
+
+def test_cdc_chunks_cover_and_partition_invariant(spark, sf_dir):
+    """Chunk counts are layout-invariant and every doc reports >= 1
+    chunk covering all tokens (counts only — coverage is structural:
+    chunks partition positions by construction)."""
+    from easy_etl_spark.operators.dedup import cdc_chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, cdc_chunk_dedup(docs).collect()))
+    b = sorted(map(tuple, cdc_chunk_dedup(docs.repartition(11)).collect()))
+    assert a == b
+    assert all(r[1] >= 1 for r in a)
