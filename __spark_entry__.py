@@ -86,10 +86,12 @@ _PRIORITY = [
     "knn_lsh_multi",
     "knn_ivf_int",
     "knn_pq_int",
+    "k_center_coreset",
     "knn_filtered",
     "lexical_search_topk",
     # text / LLM-pipeline
     "text_profile",
+    "tfidf_keywords",
     "pii_redaction",
     "decontaminate_overlap",
     "sequence_packing",

@@ -1076,3 +1076,47 @@ def int_pq_neighbors(
     )
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def int_k_center_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the
+    classic 2-approximation for diversity-maximizing data selection
+    (active learning seeds, eval-set picking, coreset construction):
+    start from the lowest-id vector, then repeatedly add the point
+    farthest from everything selected so far. Returns k rows
+    (rank, center_id, radius_d2) where radius_d2 is the chosen
+    point's exact integer distance to the previously-selected set —
+    a non-increasing sequence whose last value bounds the corpus
+    covering radius.
+
+    Pinned-integer contract: qvec quantization, integer d², argmax
+    ties broken toward the lowest id — every step replayable in SQL
+    (the oracle unrolls the k-1 selection rounds as chained CTEs).
+
+    Scale: each round is ONE TakeOrdered scan of the corpus holding a
+    running least() of distances to the (driver-held, k-bounded)
+    selected centers; no pairwise materialization, no global sort.
+    Rounds are iteration-bounded by k, not data — the same posture as
+    the BPE merge loop."""
+    corpus = emb.select(F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q"))
+    first = corpus.orderBy("__id").limit(1).collect()[0]
+    sel = [(0, int(first["__id"]), 0)]
+    cvec = list(first["__q"])
+
+    def d2_to(vec_lit):
+        return _d2_int(F.col("__q"), F.array(*[F.lit(int(x)) for x in vec_lit]))
+
+    cur = corpus.withColumn("__md", d2_to(cvec))
+    for rank in range(1, k):
+        top = cur.orderBy(F.desc("__md"), "__id").limit(1).collect()[0]
+        sel.append((rank, int(top["__id"]), int(top["__md"])))
+        cur = cur.withColumn("__md", F.least(F.col("__md"), d2_to(list(top["__q"]))))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        sel, "rank int, center_id bigint, radius_d2 bigint"
+    )

@@ -11,7 +11,7 @@ at 100 TB — the only shuffles below are the final small aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import track_cache
@@ -529,4 +529,51 @@ def gram_novelty(
                 F.lit(1.0) - F.col("n_shared").cast("double") / F.col("n_grams"), 4
             ).alias("novelty_ratio"),
         )
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc keyword extraction by tf-idf: the top_k tokens ranked
+    by term-frequency x inverse-document-frequency — the baseline
+    lexical summarizer behind tagging, routing, and sparse retrieval.
+    Returns (doc_id, keyword, tf, score_units) with ties broken
+    alphabetically.
+
+    Exactness: idf is integer-quantized (qln((N+1)/(df+1)), the
+    unigram_logprob pattern) and score_units = tf * idf_units stays
+    an exact integer, so ranking is reproducible under any
+    partitioning and bit-replayable in SQL.
+
+    Scale: tf is one map-side-combined (doc, tok) count; df one
+    tok-keyed distinct-doc count joined back on tok; the top_k is a
+    window PARTITIONED by doc — nothing global, no Python."""
+    from .scale import ensure_min_partitions
+
+    toks = ensure_min_partitions(docs.select(id_col, text_col)).select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = docs.select(id_col).distinct().count()
+    idf_units = F.floor(
+        F.log((F.lit(n_docs) + 1) / (F.col("__df") + 1)) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    scored = tf.join(df_, "tok").select(
+        id_col,
+        F.col("tok").alias("keyword"),
+        "tf",
+        (F.col("tf") * idf_units).alias("score_units"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_units"), F.asc("keyword")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(id_col, "keyword", "tf", "score_units", "rnk")
     )

@@ -245,3 +245,81 @@ def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose cuts survive offset-shifting edits. The DuckDB oracle
     replays hash/cut/fingerprint decisions bit-for-bit."""
     return cdc_chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, tok AS keyword, tf,
+             tf * CAST(floor(ln((n + 1) * 1.0 / (df + 1)) * 1000000 + 0.5)
+                       AS BIGINT) AS score_units
+      FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+    )
+    SELECT doc_id, keyword, tf, score_units, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_units DESC, keyword) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc tf-idf keyword extraction (operators/textops.
+    tfidf_keywords): integer-quantized idf, exact integer scores,
+    alphabetic tie-break — the baseline lexical summarizer, replayed
+    verbatim by the oracle."""
+    from .operators.textops import tfidf_keywords
+
+    return tfidf_keywords(load_table(spark, sf_dir, "documents"), top_k=3)
+
+
+def _k_center_oracle(k: int = 8) -> str:
+    """DuckDB twin of similarity.int_k_center_select: the k-1 greedy
+    farthest-point rounds unrolled as chained CTEs (argmax md, tie →
+    lowest id; running least() of distances to chosen centers)."""
+    d2 = _PAIR_D2
+    parts = [
+        f"v AS (SELECT vec_id, {_QV} AS q FROM embeddings)",
+        "c0 AS (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 1)",
+        "m0 AS (SELECT v.vec_id, v.q, "
+        + d2.format(a="v.q", b="c0.q")
+        + " AS md FROM v, c0)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, q, md FROM m{r-1} "
+            "ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if r < k - 1:
+            parts.append(
+                f"m{r} AS (SELECT m.vec_id, m.q, least(m.md, "
+                + d2.format(a="m.q", b=f"c{r}.q")
+                + f") AS md FROM m{r-1} m, c{r})"
+            )
+    sels = [
+        "SELECT 0 AS rank, vec_id AS center_id,"
+        " CAST(0 AS BIGINT) AS radius_d2 FROM c0"
+    ] + [
+        f"SELECT {r} AS rank, vec_id AS center_id,"
+        f" CAST(md AS BIGINT) AS radius_d2 FROM c{r}"
+        for r in range(1, k)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
+@register("k_center_coreset", _k_center_oracle())
+def k_center_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (similarity.
+    int_k_center_select): 8 farthest-point rounds over the embedding
+    corpus, exact integer distances, radii non-increasing — the
+    diversity-maximizing data-selection primitive, oracle-replayed by
+    unrolled CTE rounds."""
+    return similarity.int_k_center_select(
+        load_table(spark, sf_dir, "embeddings"), k=8
+    )

@@ -225,3 +225,58 @@ def test_cdc_chunks_cover_and_partition_invariant(spark, sf_dir):
     b = sorted(map(tuple, cdc_chunk_dedup(docs.repartition(11)).collect()))
     assert a == b
     assert all(r[1] >= 1 for r in a)
+
+
+def test_k_center_radii_non_increasing_and_spread(spark, sf_dir):
+    """Greedy farthest-point invariants: radii form a non-increasing
+    sequence; every later center is at least the final radius away
+    from all earlier ones (the 2-approximation's packing argument);
+    centers are distinct."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        similarity.int_k_center_select(emb, k=8).collect(),
+        key=lambda r: r.rank,
+    )
+    radii = [r.radius_d2 for r in rows]
+    assert radii[0] == 0
+    assert all(a >= b for a, b in zip(radii[1:], radii[2:]))
+    ids = [r.center_id for r in rows]
+    assert len(set(ids)) == 8
+    vecs = _int_vecs(emb)
+    last_r = radii[-1]
+    for i in range(1, 8):
+        for j in range(i):
+            d2 = int(((vecs[ids[i]] - vecs[ids[j]]) ** 2).sum())
+            assert d2 >= last_r, (i, j)
+
+
+def test_k_center_deterministic_under_layout(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, similarity.int_k_center_select(emb, k=5).collect()))
+    b = sorted(
+        map(tuple, similarity.int_k_center_select(emb.repartition(9), k=5).collect())
+    )
+    assert a == b
+
+
+def test_tfidf_keywords_hand_built(spark):
+    """Stopword-ish tokens present in every doc get idf ln(1)=0 and
+    can never outrank a distinctive token; per-doc top-1 is the
+    doc's unique term."""
+    from easy_etl_spark.operators.textops import tfidf_keywords
+
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "common common alpha alpha alpha"),
+            (2, "common beta beta"),
+            (3, "common gamma"),
+        ],
+    )
+    rows = tfidf_keywords(docs, top_k=2).collect()
+    top1 = {r.doc_id: r.keyword for r in rows if r.rnk == 1}
+    assert top1 == {1: "alpha", 2: "beta", 3: "gamma"}
+    # 'common' appears in all 3 docs: idf_units = qln(4/4) = 0
+    for r in rows:
+        if r.keyword == "common":
+            assert r.score_units == 0
