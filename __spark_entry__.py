@@ -105,6 +105,8 @@ _PRIORITY = [
     "snapshot_diff_orders",
     "cdc_apply_changes",
     "corr_stats",
+    "hll_distinct_md5",
+    "mutual_information_lang_source",
     # behavioral analytics, incremental view maintenance
     "events_funnel",
     "cohort_retention",

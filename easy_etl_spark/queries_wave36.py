@@ -323,3 +323,134 @@ def k_center_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int_k_center_select(
         load_table(spark, sf_dir, "embeddings"), k=8
     )
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin of sketches.hll_md5_distinct over events.user_id
+    per event_type: identical md5 hashing, integer rank chain, exact
+    dyadic register sums, same literal-arithmetic estimator."""
+    rank_case = "CASE " + " ".join(
+        f"WHEN rem >= {1 << (26 - rank)} THEN {rank}" for rank in range(1, 27)
+    ) + " ELSE 27 END"
+    alpha = (
+        "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        " + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))"
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ),
+    k AS (
+      SELECT event_type, user_id, h % 64 AS idx,
+             (SELECT {rank_case} FROM (SELECT h // 64 AS rem)) AS rank
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, idx, max(rank) AS m
+      FROM k GROUP BY event_type, idx
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(sum(CAST(2**(27 - m) AS BIGINT)) AS BIGINT) AS s_present,
+             count(*) AS n_idx
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             s_present + (64 - n_idx) * CAST(134217728 AS BIGINT) AS s_int,
+             CAST(64 - n_idx AS BIGINT) AS v_zero
+      FROM sums
+    ),
+    fin AS (
+      SELECT event_type, v_zero,
+             {alpha} * CAST(4096.0 AS DOUBLE) * CAST(134217728.0 AS DOUBLE)
+               / s_int AS e_raw
+      FROM est
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+             count(*) AS n_rows
+      FROM events GROUP BY event_type
+    )
+    SELECT fin.event_type,
+           round(CASE WHEN e_raw <= CAST(160.0 AS DOUBLE) AND v_zero > 0
+                      THEN CAST(64.0 AS DOUBLE)
+                           * ln(CAST(64.0 AS DOUBLE) / v_zero)
+                      ELSE e_raw END, 4) + 0.0 AS est_distinct,
+           exact_distinct, n_rows
+    FROM fin JOIN ex ON ex.event_type = fin.event_type
+    """
+
+
+@register("hll_distinct_md5", _hll_oracle())
+def hll_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked HyperLogLog (operators/sketches.hll_md5_distinct):
+    the engine-portable twin of the DataSketches surface
+    (sketch_distinct_users stays rows-only) — md5-derived 32-bit
+    hashes, 64 integer registers, exact dyadic indicator sums, the
+    standard linear-counting correction; DuckDB replays register
+    state AND the estimate bit-for-bit."""
+    from .operators.sketches import hll_md5_distinct
+
+    return hll_md5_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"]
+    )
+
+
+@register(
+    "mutual_information_lang_source",
+    """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+    ),
+    rl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cells GROUP BY lang),
+    cs AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cells)
+    SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n_docs,
+           round((CAST(floor(ln(CAST(c.n AS DOUBLE) * n_tot) * 1000000 + 0.5) AS BIGINT)
+                - CAST(floor(ln(CAST(nl AS DOUBLE) * ns) * 1000000 + 0.5) AS BIGINT))
+                 / 1000000.0, 4) + 0.0 AS pmi,
+           c.n * (CAST(floor(ln(CAST(c.n AS DOUBLE) * n_tot) * 1000000 + 0.5) AS BIGINT)
+                - CAST(floor(ln(CAST(nl AS DOUBLE) * ns) * 1000000 + 0.5) AS BIGINT))
+             AS mi_contrib_units
+    FROM cells c JOIN rl USING (lang) JOIN cs USING (source) CROSS JOIN tot
+    """,
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between the lang and source
+    columns — the dependence screen behind feature selection and
+    stratification checks: pmi = ln(p(l,s)/(p(l)p(s))) per cell plus
+    the cell's exact integer contribution to total MI
+    (Σ contrib / N / 1e6 nats). Integer-quantized ln of rationals of
+    counts (the unigram_logprob pattern) keeps both engines
+    bit-identical.
+
+    Scale: one map-side-combined cell count (|langs|x|sources| rows),
+    two margin reduces over the CELLS (not the data), a broadcast
+    total — nothing after the first aggregate touches raw rows."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    rl = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
+    cs = cells.groupBy("source").agg(F.sum("n").alias("ns"))
+    tot = cells.agg(F.sum("n").alias("n_tot"))
+
+    def qln(x):
+        return F.floor(F.log(x) * 1e6 + F.lit(0.5)).cast("long")
+
+    units = qln(F.col("n").cast("double") * F.col("n_tot")) - qln(
+        F.col("nl").cast("double") * F.col("ns")
+    )
+    return (
+        cells.join(rl, "lang")
+        .join(cs, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            (F.round(units / 1e6, 4) + F.lit(0.0)).alias("pmi"),
+            (F.col("n") * units).alias("mi_contrib_units"),
+        )
+    )

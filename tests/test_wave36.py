@@ -280,3 +280,66 @@ def test_tfidf_keywords_hand_built(spark):
     for r in rows:
         if r.keyword == "common":
             assert r.score_units == 0
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """m=64 HLL standard error is 1.04/sqrt(64) = 13%; require every
+    per-type estimate within 3 sigma (~40%) of exact, and the
+    estimator exactly replayable in pure Python from the same md5
+    hashes (independent replay, not the Spark code path)."""
+    import hashlib
+
+    from easy_etl_spark.operators.sketches import hll_md5_distinct
+    from easy_etl_spark.session import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    got = {
+        r.event_type: (r.est_distinct, r.exact_distinct)
+        for r in hll_md5_distinct(events, "user_id", ["event_type"]).collect()
+    }
+    rows = events.select("event_type", "user_id").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.user_id)
+    for etype, users in by_type.items():
+        regs = [0] * 64
+        for u in users:
+            h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+            idx, rem = h % 64, h // 64
+            rank = 27 - rem.bit_length() if rem else 27
+            regs[idx] = max(regs[idx], rank)
+        s_int = sum(1 << (27 - m) for m in regs)
+        alpha = 0.7213 / (1.0 + 1.079 / 64.0)
+        e_raw = alpha * 4096.0 * 134217728.0 / s_int
+        v = regs.count(0)
+        import math
+
+        est = 64.0 * math.log(64.0 / v) if (e_raw <= 160.0 and v > 0) else e_raw
+        est = round(est, 4) + 0.0
+        assert abs(got[etype][0] - est) < 1e-9, etype
+        exact = len(set(users))
+        assert got[etype][1] == exact
+        assert abs(est - exact) / exact < 0.40, (etype, est, exact)
+
+
+def test_pmi_cells_sum_to_nonneg_mi(spark, sf_dir):
+    """Total MI (sum of cell contributions) must be >= 0 up to
+    quantization (ln-unit floors can push epsilon below zero), and
+    every cell's pmi must respect ln bounds: pmi <= min(-ln p(l),
+    -ln p(s))."""
+    import math
+
+    from easy_etl_spark.queries import QUERIES
+
+    rows = QUERIES["mutual_information_lang_source"](spark, sf_dir).collect()
+    n_tot = sum(r.n_docs for r in rows)
+    mi = sum(r.mi_contrib_units for r in rows) / 1e6 / n_tot
+    assert mi >= -1e-4
+    nl: dict = {}
+    ns: dict = {}
+    for r in rows:
+        nl[r.lang] = nl.get(r.lang, 0) + r.n_docs
+        ns[r.source] = ns.get(r.source, 0) + r.n_docs
+    for r in rows:
+        bound = min(-math.log(nl[r.lang] / n_tot), -math.log(ns[r.source] / n_tot))
+        assert r.pmi <= bound + 1e-3, (r.lang, r.source)
