@@ -117,6 +117,8 @@ _PRIORITY = [
     "data_quality_checks",
     "session_duration_stats",
     "events_trailing_hour",
+    "ewma_revenue_trend",
+    "woe_information_value",
     "sink_time_travel",
     "sink_compaction",
     "txn_sink_merge",

@@ -454,3 +454,155 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("n") * units).alias("mi_contrib_units"),
         )
     )
+
+
+@register(
+    "woe_information_value",
+    """
+    WITH base AS (
+      SELECT least(CAST(floor(o_totalprice / 60000.0) AS BIGINT), 9) AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ),
+    bins AS (
+      SELECT bucket, CAST(sum(1 - bad) AS BIGINT) AS n_good,
+             CAST(sum(bad) AS BIGINT) AS n_bad
+      FROM base GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+             CAST(sum(n_bad) AS BIGINT) AS b_tot,
+             count(*) AS k FROM bins
+    )
+    SELECT bucket, n_good, n_bad,
+           round((CAST(floor(ln((n_good + 1) * 1.0 / (g_tot + k)) * 1000000 + 0.5)
+                       AS BIGINT)
+                - CAST(floor(ln((n_bad + 1) * 1.0 / (b_tot + k)) * 1000000 + 0.5)
+                       AS BIGINT)) / 1000000.0, 4) + 0.0 AS woe,
+           round(((n_good + 1) * 1.0 / (g_tot + k)
+                 - (n_bad + 1) * 1.0 / (b_tot + k))
+                 * (CAST(floor(ln((n_good + 1) * 1.0 / (g_tot + k)) * 1000000 + 0.5)
+                         AS BIGINT)
+                  - CAST(floor(ln((n_bad + 1) * 1.0 / (b_tot + k)) * 1000000 + 0.5)
+                         AS BIGINT)) / 1000000.0, 6) + 0.0 AS iv_contrib
+    FROM bins CROSS JOIN tot
+    """,
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of order value
+    vs fulfillment status — the credit-scoring-style predictive-power
+    screen run before binning a feature into a model: per fixed-width
+    price bucket, WOE = ln(p(bucket|good)/p(bucket|bad)) with add-one
+    smoothing and the bucket's IV contribution (sum >= 0.1 — weak,
+    >= 0.3 — strong predictor). Integer-quantized ln of rationals of
+    counts keeps engines bit-identical.
+
+    Scale: one map-side-combined bucket x label count (<= 10 rows),
+    broadcast totals — nothing after the first aggregate touches
+    data."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 60000.0).cast("long"), F.lit(9)).alias(
+            "bucket"
+        ),
+        (F.col("o_orderstatus") == "F").cast("long").alias("bad"),
+    )
+    bins = base.groupBy("bucket").agg(
+        F.sum(1 - F.col("bad")).alias("n_good"), F.sum("bad").alias("n_bad")
+    )
+    tot = bins.agg(
+        F.sum("n_good").alias("g_tot"),
+        F.sum("n_bad").alias("b_tot"),
+        F.count(F.lit(1)).alias("k"),
+    )
+
+    def qln(x):
+        return F.floor(F.log(x) * 1e6 + F.lit(0.5)).cast("long")
+
+    pg = (F.col("n_good") + 1) / (F.col("g_tot") + F.col("k"))
+    pb = (F.col("n_bad") + 1) / (F.col("b_tot") + F.col("k"))
+    units = qln(pg) - qln(pb)
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_good",
+        "n_bad",
+        (F.round(units / 1e6, 4) + F.lit(0.0)).alias("woe"),
+        (F.round((pg - pb) * units / 1e6, 6) + F.lit(0.0)).alias("iv_contrib"),
+    )
+
+
+@register(
+    "ewma_revenue_trend",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT cur.day, src.rev_cents,
+             CAST(2**(19 - (cur.day - src.day)) AS BIGINT) AS w
+      FROM daily cur JOIN daily src
+        ON src.day BETWEEN cur.day - 19 AND cur.day
+    ),
+    agg AS (
+      SELECT day, CAST(sum(rev_cents * w) AS BIGINT) AS num,
+             CAST(sum(w) AS BIGINT) AS den
+      FROM pairs GROUP BY day
+    )
+    SELECT d.day, d.rev_cents,
+           round(num * 1.0 / den, 4) + 0.0 AS ewma_cents
+    FROM daily d JOIN agg USING (day)
+    ORDER BY d.day LIMIT 100
+    """,
+)
+def ewma_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with
+    dyadic half-life-1-day weights over a bounded 20-day lookback —
+    the smoothing/trend primitive behind monitoring dashboards,
+    computed EXACTLY: weights 2^(19-lag) and revenue cents are
+    integers, so numerator/denominator are exact BIGINTs and the
+    single final division is the only float op (identical IEEE
+    rounding on both engines). First 100 days shown (TakeOrdered).
+
+    Scale: daily totals are one map-side-combined aggregate (rows =
+    distinct days, not orders); the lookback is a bounded equi-ish
+    range self-join over that DAY-COUNT-sized frame — the classic
+    bounded-lag pattern that never touches raw rows twice."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    cur, src = daily.alias("cur"), daily.alias("src")
+    pairs = cur.join(
+        src,
+        (F.col("src.day") >= F.col("cur.day") - 19)
+        & (F.col("src.day") <= F.col("cur.day")),
+    ).select(
+        F.col("cur.day").alias("day"),
+        F.col("src.rev_cents").alias("rev_cents"),
+        F.pow(F.lit(2.0), (F.lit(19) - (F.col("cur.day") - F.col("src.day"))).cast("double"))
+        .cast("long")
+        .alias("w"),
+    )
+    agg = pairs.groupBy("day").agg(
+        F.sum(F.col("rev_cents") * F.col("w")).alias("num"),
+        F.sum("w").alias("den"),
+    )
+    return (
+        daily.join(agg, "day")
+        .select(
+            "day",
+            "rev_cents",
+            (F.round(F.col("num") / F.col("den"), 4) + F.lit(0.0)).alias("ewma_cents"),
+        )
+        .orderBy("day")
+        .limit(100)
+    )

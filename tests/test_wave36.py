@@ -343,3 +343,67 @@ def test_pmi_cells_sum_to_nonneg_mi(spark, sf_dir):
     for r in rows:
         bound = min(-math.log(nl[r.lang] / n_tot), -math.log(ns[r.source] / n_tot))
         assert r.pmi <= bound + 1e-3, (r.lang, r.source)
+
+
+def test_woe_iv_contributions_nonnegative(spark, sf_dir):
+    """IV contribution = (pg - pb) * ln(pg/pb): both factors share a
+    sign, so every bin's contribution must be >= 0 (up to ln-unit
+    quantization), and WOE's sign must match sign(pg - pb)."""
+    from easy_etl_spark.queries import QUERIES
+
+    rows = QUERIES["woe_information_value"](spark, sf_dir).collect()
+    assert rows
+    g_tot = sum(r.n_good for r in rows)
+    b_tot = sum(r.n_bad for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert r.iv_contrib >= -1e-6, r
+        pg = (r.n_good + 1) / (g_tot + k)
+        pb = (r.n_bad + 1) / (b_tot + k)
+        if pg > pb:
+            assert r.woe >= 0, r
+        elif pg < pb:
+            assert r.woe <= 0, r
+
+
+def test_ewma_python_replay_and_smoothing(spark, sf_dir):
+    """Replay the dyadic EWMA independently in Python from the daily
+    totals; also pin the smoothing property: the EWMA series varies no
+    more than the raw series (max abs day-over-day delta)."""
+    from easy_etl_spark.queries import QUERIES
+    from easy_etl_spark.session import load_table as _lt
+
+    import pyspark.sql.functions as Fn
+
+    rows = sorted(
+        QUERIES["ewma_revenue_trend"](spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    o = _lt(spark, sf_dir, "orders")
+    daily = {
+        r.day: r.rev_cents
+        for r in o.groupBy(
+            Fn.datediff(
+                Fn.col("o_orderdate").cast("date"), Fn.lit("1992-01-01").cast("date")
+            ).alias("day")
+        )
+        .agg(
+            Fn.sum(
+                Fn.floor(Fn.col("o_totalprice") * 100 + Fn.lit(0.5)).cast("long")
+            ).alias("rev_cents")
+        )
+        .collect()
+    }
+    for r in rows:
+        num = den = 0
+        for lag in range(20):
+            d = r.day - lag
+            if d in daily:
+                w = 1 << (19 - lag)
+                num += daily[d] * w
+                den += w
+        assert abs(r.ewma_cents - (round(num / den, 4) + 0.0)) < 1e-9, r.day
+    raw_delta = max(
+        abs(daily[b.day] - daily[a.day]) for a, b in zip(rows, rows[1:])
+    )
+    ewma_delta = max(abs(b.ewma_cents - a.ewma_cents) for a, b in zip(rows, rows[1:]))
+    assert ewma_delta <= raw_delta
