@@ -1018,15 +1018,24 @@ def int_pq_neighbors(
     Every decision is an exact integer the DuckDB oracle replays
     bit-for-bit.
 
-    Scale: codebooks are literal arrays folded into ONE map pass that
-    encodes the corpus (no shuffle, no join — at 100 TB this is the
-    pass that writes the compressed index); scoring broadcasts the
-    query side and computes each query's per-sub-space distance table
-    as Column algebra over the same literals, so the only shuffle is
-    the final per-query top-k window over an n·|queries| scored frame
-    — same shape as brute force but over codes, which is what makes
-    the re-rank cheap when n is huge."""
-    sub = None
+    Scale: the corpus encode is ONE Arrow-batched mapInPandas pass (no
+    shuffle, no join — at 100 TB this is the pass that writes the
+    compressed index): per sub-space an exact int64 numpy Gram
+    (|x|² - 2x·Cᵀ + |c|², every term far inside int64 at qvec scale)
+    with argmin's first-index rule giving the same lowest-codeword
+    tie-break the SQL oracle uses. A pure-Column-algebra encode (an
+    array_min over ks d² structs) produced identical codes but ran
+    ~50x slower — higher-order-function lambdas are interpreted per
+    element, the same lesson as semantic_dedup's within-cell scan.
+    Scoring broadcasts the query side and computes each query's
+    per-sub-space distance table as Column algebra over the codeword
+    literals, so the only shuffle is the final per-query top-k window
+    over an n·|queries| scored frame — same shape as brute force but
+    over codes, which is what makes the re-rank cheap when n is
+    huge."""
+    import numpy as np
+    import pandas as pd
+
     corpus = emb.select(F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q"))
     seeds = corpus.orderBy("__id").limit(ks).collect()
     dim = len(seeds[0]["__q"])
@@ -1038,21 +1047,33 @@ def int_pq_neighbors(
         [list(r["__q"])[mi * sub : (mi + 1) * sub] for r in seeds]
         for mi in range(m)
     ]
+    cb = [np.array(books[mi], dtype=np.int64) for mi in range(m)]
+    cb_sq = [(c * c).sum(axis=1) for c in cb]
+    enc_schema = "__id long, " + ", ".join(f"__c{mi} int" for mi in range(m))
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf["__q"]], dtype=np.int64
+            )
+            out = {"__id": pdf["__id"].to_numpy()}
+            for mi in range(m):
+                S = X[:, mi * sub : (mi + 1) * sub]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2 * (S @ cb[mi].T)
+                    + cb_sq[mi][None, :]
+                )
+                # np.argmin returns the FIRST minimum -> lowest codeword
+                out[f"__c{mi}"] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    encoded = corpus.mapInPandas(_encode, schema=enc_schema)
 
     def lit_vec(v):
         return F.array(*[F.lit(int(x)) for x in v])
-
-    def code(vec: Column, mi: int) -> Column:
-        s = F.slice(vec, mi * sub + 1, sub)
-        alts = [
-            F.struct(_d2_int(s, lit_vec(books[mi][j])).alias("d2"), F.lit(j).alias("j"))
-            for j in range(ks)
-        ]
-        return F.array_min(F.array(*alts))["j"]
-
-    encoded = corpus.select(
-        "__id", *[code(F.col("__q"), mi).alias(f"__c{mi}") for mi in range(m)]
-    )
     q = queries.select(
         F.col(id_col).alias("__qid"), qvec(F.col(vec_col)).alias("__qq")
     )
