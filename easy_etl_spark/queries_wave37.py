@@ -1,0 +1,440 @@
+"""Wave-37 query catalog: mergeable frequency sketches, runtime join
+pruning, community detection, and random-projection dimensionality
+reduction.
+
+New operator families:
+  - cms_heavy_hitters        count-min sketch (Cormode & Muthukrishnan
+                             2005) twin: md5-salted integer registers,
+                             point estimates for the exact top-20 keys
+  - bloom_prune_join         runtime bloom-filter semi-join pruning —
+                             the explicit form of Spark's runtime row-
+                             level bloom filter / DPP: broadcast bit
+                             set, zero probe-side shuffle before the
+                             filter
+  - lpa_communities          synchronous label propagation (Raghavan
+                             et al. 2007) on the co-purchase graph,
+                             mode-label update with min-label ties,
+                             3 pinned rounds oracle-unrolled as CTEs
+  - jl_projection_distortion Johnson-Lindenstrauss sign projection
+                             (Achlioptas 2003): +-1 rows baked as
+                             shared literals into BOTH engines, exact
+                             integer distances, distortion histogram
+
+Hash-safety follows the catalog conventions (queries.py docstring):
+every value that reaches the output is an exact integer or a
+deterministic function of exact integers; md5-derived hashes use the
+same first-32-bit convention as operators/sketches.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.sketches import _md5_u32
+from .queries import register
+from .session import load_table
+
+# ----------------------------------------------------------------------
+# count-min sketch
+# ----------------------------------------------------------------------
+
+CMS_D = 4  # hash rows (salts)
+CMS_W = 64  # buckets per row
+
+_H32 = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+
+
+def _cms_oracle() -> str:
+    h = _H32.format(s="CAST(ds.d AS VARCHAR) || ':' || CAST({k} AS VARCHAR)")
+    return f"""
+    WITH ev AS (SELECT user_id FROM events),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    regs AS (
+      SELECT ds.d, {h.format(k="ev.user_id")} % {CMS_W} AS idx,
+             count(*) AS reg
+      FROM ev CROSS JOIN ds GROUP BY 1, 2
+    ),
+    exact AS (SELECT user_id, count(*) AS exact_cnt FROM ev GROUP BY user_id),
+    cand AS (SELECT * FROM exact ORDER BY exact_cnt DESC, user_id LIMIT 20),
+    pos AS (
+      SELECT c.user_id, c.exact_cnt, ds.d,
+             {h.format(k="c.user_id")} % {CMS_W} AS idx
+      FROM cand c CROSS JOIN ds
+    )
+    SELECT p.user_id, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(r.reg) AS BIGINT) AS cms_est,
+           CAST(min(r.reg) - p.exact_cnt AS BIGINT) AS overcount
+    FROM pos p JOIN regs r ON r.d = p.d AND r.idx = p.idx
+    GROUP BY p.user_id, p.exact_cnt
+    """
+
+
+@register("cms_heavy_hitters", _cms_oracle())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates for the top-20 users by event
+    count: d=4 md5-salted hash rows x w=64 counters, estimate =
+    min over rows of the landed counter (Cormode & Muthukrishnan
+    2005). Registers are exact integers, so the DuckDB oracle replays
+    the sketch bit-for-bit; `overcount` (always >= 0 — CMS can only
+    overestimate) is published for error accounting, the same move as
+    the HLL twin's exact_distinct column.
+
+    Scale: register build is ONE map-side-combinable aggregation whose
+    result is d*w = 256 rows regardless of input size, mergeable
+    across partitions/days by plain +. The exact top-20 candidate pass
+    is the only part that wouldn't survive 100 TB — at scale the
+    candidates come from the sketch itself or a sampled prefilter;
+    the register path shuffles nothing but counter rows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def idx(col, d):
+        return (
+            _md5_u32(F.concat(F.lit(f"{d}:"), col.cast("string"))) % CMS_W
+        ).alias(f"i{d}")
+
+    keyed = ev.select(
+        F.posexplode(
+            F.array(*[idx(F.col("user_id"), d) for d in range(CMS_D)])
+        ).alias("d", "idx")
+    )
+    regs = keyed.groupBy("d", "idx").agg(F.count(F.lit(1)).alias("reg"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cand = exact.orderBy(F.col("exact_cnt").desc(), "user_id").limit(20)
+    pos = cand.select(
+        "user_id",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[idx(F.col("user_id"), d) for d in range(CMS_D)])
+        ).alias("d", "idx"),
+    )
+    return (
+        pos.join(F.broadcast(regs), ["d", "idx"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("reg").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# bloom-filter runtime join pruning
+# ----------------------------------------------------------------------
+
+BLOOM_M = 65536  # bits
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_oracle() -> str:
+    def probe_bit(j: int) -> str:
+        s = f"'{j}:' || CAST(o.o_custkey AS VARCHAR)"
+        return f"{_H32.format(s=s)} % {BLOOM_M}"
+
+    joins = "\n".join(
+        f"      LEFT JOIN bits b{j} ON b{j}.bit = {probe_bit(j)}"
+        for j in range(BLOOM_K)
+    )
+    passed = " AND ".join(f"b{j}.bit IS NOT NULL" for j in range(BLOOM_K))
+    build_bit = _H32.format(
+        s="CAST(salts.j AS VARCHAR) || ':' || CAST(seg.c_custkey AS VARCHAR)"
+    )
+    return f"""
+    WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    salts AS (SELECT unnest([0, 1, 2]) AS j),
+    bits AS (
+      SELECT DISTINCT {build_bit} % {BLOOM_M} AS bit
+      FROM seg CROSS JOIN salts
+    ),
+    p AS (
+      SELECT o.o_orderkey,
+             ({passed}) AS pass,
+             (s.c_custkey IS NOT NULL) AS member
+      FROM orders o
+{joins}
+      LEFT JOIN seg s ON s.c_custkey = o.o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+           CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CAST((10000 * sum(CASE WHEN pass THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS pass_rate_bp
+    FROM p
+    """
+
+
+@register("bloom_prune_join", _bloom_oracle())
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning made explicit: the build side
+    (BUILDING-segment customers) sets k=3 md5 bits in an m=65536 bloom
+    set; every order is probed per-row through THREE broadcast hash
+    joins (one per hash function) — the executable form of Spark's
+    InjectRuntimeFilter / row-level bloom might_contain, with the
+    no-false-negative guarantee visible as n_bloom_pass >=
+    n_true_match and the cost visible as n_false_pos.
+
+    Scale: the bit set is bounded by m (<= 65536 rows ~ 0.5 MB)
+    independent of data size, so all three probe joins broadcast and
+    the probe side never shuffles — pruning happens before any
+    keyed exchange, exactly where a 100 TB scan wants it. A cluster
+    deployment sizes m from an approx build-side count (m ~ 1.44 k n);
+    m is pinned here so the oracle replays the identical bit set."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def pos(col, j):
+        return _md5_u32(F.concat(F.lit(f"{j}:"), col.cast("string"))) % BLOOM_M
+
+    bits = seg.select(
+        F.explode(
+            F.array(*[pos(F.col("c_custkey"), j) for j in range(BLOOM_K)])
+        ).alias("bit")
+    ).distinct()
+    p = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    for j in range(BLOOM_K):
+        bj = bits.select(F.col("bit").alias(f"b{j}"), F.lit(1).alias(f"hit{j}"))
+        p = p.withColumn(f"b{j}", pos(F.col("o_custkey"), j)).join(
+            F.broadcast(bj), f"b{j}", "left"
+        )
+    member = seg.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("is_member")
+    )
+    p = p.join(F.broadcast(member), "o_custkey", "left")
+    passed = F.lit(True)
+    for j in range(BLOOM_K):
+        passed = passed & F.col(f"hit{j}").isNotNull()
+    is_member = F.col("is_member").isNotNull()
+    flags = p.select(
+        passed.cast("int").alias("pass_f"),
+        is_member.cast("int").alias("member_f"),
+        (passed & ~is_member).cast("int").alias("fp_f"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum("pass_f").cast("bigint").alias("n_bloom_pass"),
+        F.sum("member_f").cast("bigint").alias("n_true_match"),
+        F.sum("fp_f").cast("bigint").alias("n_false_pos"),
+    ).select(
+        "n_probe",
+        "n_bloom_pass",
+        "n_true_match",
+        "n_false_pos",
+        F.expr("CAST((10000 * n_bloom_pass) DIV n_probe AS BIGINT)").alias(
+            "pass_rate_bp"
+        ),
+    )
+
+
+# ----------------------------------------------------------------------
+# label propagation communities
+# ----------------------------------------------------------------------
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    step = """
+    r{t} AS (
+      SELECT src AS v, label FROM (
+        SELECT e.src, p.label,
+               row_number() OVER (PARTITION BY e.src
+                                  ORDER BY count(*) DESC, p.label) AS rn
+        FROM edges e JOIN r{p} p ON p.v = e.dst
+        GROUP BY e.src, p.label
+      ) WHERE rn = 1
+    )"""
+    parts = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM li l1 JOIN li l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )""",
+        "edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0)",
+        "r0 AS (SELECT DISTINCT src AS v, src AS label FROM edges)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(step.format(t=t, p=t - 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(n_members AS BIGINT) AS n_members,
+           count(*) AS n_communities
+    FROM (SELECT label, count(*) AS n_members FROM r{rounds} GROUP BY label)
+    GROUP BY n_members
+    """
+    )
+
+
+@register("lpa_communities", _lpa_oracle())
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-size histogram of the co-purchase graph under
+    synchronous label propagation (Raghavan et al. 2007): labels start
+    as node ids; each round every node adopts the most frequent label
+    among its neighbors, ties broken by the smallest label — the
+    deterministic variant, so 3 pinned rounds unroll as oracle CTEs
+    (production loops to a change-count fixpoint, like dedup_clusters'
+    min-label components — LPA differs by finding DENSE groups inside
+    one component, not connectivity).
+
+    Scale: each round is one edge-keyed join + one (node, label)
+    count + one per-node window — the Pregel-on-relational layout of
+    pagerank/bfs/kcore; edges persist across rounds, the label frame
+    is localCheckpointed per round so lineage stays flat."""
+    from .queries_wave10 import _copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edges(li).persist()
+    try:
+        lab = edges.select(F.col("src").alias("v")).distinct().withColumn(
+            "label", F.col("v")
+        )
+        for _ in range(3):
+            w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "label")
+            lab = (
+                edges.join(lab, edges["dst"] == lab["v"])
+                .groupBy("src", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("src").alias("v"), "label")
+                .localCheckpoint()
+            )
+    finally:
+        edges.unpersist()
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.groupBy(F.col("n_members").cast("bigint").alias("n_members")).agg(
+        F.count(F.lit(1)).alias("n_communities")
+    )
+
+
+# ----------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection
+# ----------------------------------------------------------------------
+
+JL_K = 8  # target dimensions
+JL_D = 64  # source dimensions
+JL_SAMPLE = 50  # vec_ids in the distortion sample
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic +-1 sign matrix (k x d) from md5 parity — computed
+    once at import and baked as LITERALS into both the Spark plan and
+    the oracle SQL, so engine hash portability is moot."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for i in range(JL_D)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+_QV = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+)
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    proj = ",\n             ".join(
+        "CAST(list_sum(list_zip(q, {lits}).apply(p -> p[1] * p[2])) AS BIGINT)"
+        " AS p{j}".format(lits=str(signs[j]), j=j)
+        for j in range(JL_K)
+    )
+    d2p = " + ".join(f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(JL_K))
+    d2o = (
+        "CAST(list_sum(list_zip(a.q, b.q).apply(p -> (p[1]-p[2])*(p[1]-p[2])))"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {_QV} AS q FROM embeddings WHERE vec_id < {JL_SAMPLE}
+    ),
+    pv AS (
+      SELECT vec_id, q,
+             {proj}
+      FROM v
+    ),
+    pairs AS (
+      SELECT {d2o} AS d2o, ({d2p}) AS d2p
+      FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST((10 * d2p) // ({JL_K} * d2o) AS BIGINT) AS ratio_decile,
+           count(*) AS n_pairs
+    FROM pairs WHERE d2o > 0
+    GROUP BY 1
+    """
+
+
+@register("jl_projection_distortion", _jl_oracle())
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (Achlioptas 2003: +-1
+    entries suffice; E||Rq||^2 = k||q||^2): project the 64-dim
+    embeddings onto k=8 sign rows and histogram the pairwise distance
+    ratio d2_proj / (k * d2_orig) in deciles over a pinned 50-vector
+    sample — the dimensionality-reduction audit run before committing
+    an ANN index to a reduced space. The sign matrix is md5-parity,
+    baked as identical literals into both engines; distances stay
+    exact BIGINTs, the decile is integer division.
+
+    Scale: the projection is a per-row map (64*8 multiply-adds, no
+    shuffle) — at 100 TB it runs in the scan stage; the pair join is
+    over the bounded 50-row sample (broadcast nested loop on a frame
+    whose size is fixed by construction, not by data)."""
+    signs = _jl_signs()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < JL_SAMPLE)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ).alias("q"),
+        )
+    )
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, b: a * b.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(JL_K)
+    ]
+    pv = emb.select("vec_id", "q", *proj_cols)
+    a, b = pv.alias("a"), pv.alias("b")
+    d2o = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d2p = None
+    for j in range(JL_K):
+        term = (F.col(f"a.p{j}") - F.col(f"b.p{j}")) * (
+            F.col(f"a.p{j}") - F.col(f"b.p{j}")
+        )
+        d2p = term if d2p is None else d2p + term
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(d2o.alias("d2o"), d2p.alias("d2p"))
+        .filter(F.col("d2o") > 0)
+    )
+    return pairs.select(
+        F.expr(f"CAST((10 * d2p) DIV ({JL_K} * d2o) AS BIGINT)").alias("ratio_decile")
+    ).groupBy("ratio_decile").agg(F.count(F.lit(1)).alias("n_pairs"))
