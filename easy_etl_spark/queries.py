@@ -599,3 +599,4 @@ from . import queries_wave35  # noqa: E402,F401
 from . import queries_wave36  # noqa: E402,F401
 from . import queries_wave37  # noqa: E402,F401
 from . import queries_wave38  # noqa: E402,F401
+from . import queries_wave39  # noqa: E402,F401
