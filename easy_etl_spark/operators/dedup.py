@@ -444,18 +444,27 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Exact pairwise cosine near-dup over embeddings as a DISTRIBUTED
     block-matrix similarity join: vectors are packed into `n_blocks`
-    row blocks, the upper triangle of block pairs is enumerated with a
-    self-join, and each task matmuls one block pair with numpy (Arrow
-    batch in, BLAS dgemm, sparse thresholded pairs out).
+    row blocks, the upper triangle of block pairs is enumerated as an
+    EQUI-join on exploded composite pair keys, and each task matmuls
+    one block pair with numpy (Arrow batch in, BLAS dgemm, sparse
+    thresholded pairs out).
 
-    No driver-side collect/broadcast anywhere (the round-1 version
-    pulled the corpus to the driver — a 100 TB driver OOM): peak task
-    memory is two blocks, shuffle volume is n_blocks replicas of the
-    corpus. Exact all-pairs is inherently O(n²) compute at any layout;
-    for corpora beyond dim-table size generate candidates with
-    similarity.lsh_bucketed_neighbors / minhash bands and verify only
-    those pairs — this operator is the exact path and the per-bucket
-    verifier.
+    Pair enumeration is hash-partitioned, never driver-brokered: the
+    left side replicates block ``b`` to keys ``(b, r) for r ≥ b`` and
+    the right side to ``(l, b) for l ≤ b``, so the join on
+    ``(bl, br)`` matches each unordered block pair exactly once and
+    Catalyst plans a shuffled equi-join spread evenly over the
+    B(B+1)/2 keys. (The previous ``L.__b <= R.__b`` theta-join could
+    only plan as BroadcastNestedLoopJoin — silently collecting the
+    whole packed corpus through the driver, the exact 100 TB OOM this
+    operator was written to avoid; measured 2× worse than the O(n²)
+    compute envelope at the 25× local rung.) Peak task memory is two
+    blocks; shuffle volume is ~n_blocks replicas of the corpus, split
+    across both join sides. Exact all-pairs is inherently O(n²)
+    compute at any layout; for corpora beyond dim-table size generate
+    candidates with similarity.lsh_bucketed_neighbors / minhash bands
+    and verify only those pairs — this operator is the exact path and
+    the per-bucket verifier.
 
     ``n_blocks=None`` (default) sizes blocks adaptively from Catalyst's
     plan-stats ``sizeInBytes`` — a DRIVER-SIDE estimate (file splits ×
@@ -506,26 +515,25 @@ def embedding_dup_pairs(
             F.transform("__rows", lambda r: r["__v"]).alias("__vecs"),
         )
     )
-    pairs = (
-        packed.alias("L")
-        .join(packed.alias("R"), F.col("L.__b") <= F.col("R.__b"))
-        .select(
-            F.col("L.__b").alias("bl"),
-            F.col("R.__b").alias("br"),
-            F.col("L.__ids").alias("lids"),
-            F.col("L.__vecs").alias("lvecs"),
-            F.col("R.__ids").alias("rids"),
-            F.col("R.__vecs").alias("rvecs"),
-        )
+    top = F.lit(n_blocks - 1).cast("long")
+    left = packed.select(
+        F.col("__b").alias("bl"),
+        F.explode(F.sequence(F.col("__b").cast("long"), top)).alias("br"),
+        F.col("__ids").alias("lids"),
+        F.col("__vecs").alias("lvecs"),
     )
-    n_pairs = n_blocks * (n_blocks + 1) // 2
-    if n_pairs > 32:
-        # spread the O(B²/2) block-pair tasks across the cluster; for a
-        # handful of pairs the join's own output partitioning (one
-        # partition per left block, ≤B pairs each) already parallelizes
-        # and the extra shuffle of the packed blocks costs more than it
-        # balances
-        pairs = pairs.repartition(n_pairs)
+    right = packed.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__b").cast("long"))).alias("bl"),
+        F.col("__b").alias("br"),
+        F.col("__ids").alias("rids"),
+        F.col("__vecs").alias("rvecs"),
+    )
+    # equi-join on the composite pair key: output partitioning is
+    # hash(bl, br) over the shuffle-partition count, so the B(B+1)/2
+    # matmul tasks land evenly with no further repartition
+    pairs = left.join(right, ["bl", "br"]).select(
+        "bl", "br", "lids", "lvecs", "rids", "rvecs"
+    )
 
     def block_pair(batches):
         import pandas as pd

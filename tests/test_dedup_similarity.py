@@ -90,6 +90,22 @@ def test_embedding_dup_pairs_no_driver_collect(spark, monkeypatch):
     assert df.schema.simpleString() == "struct<id_a:bigint,id_b:bigint,cosine:double>"
 
 
+def test_embedding_dup_pairs_equi_join_plan(spark):
+    """Scale gate: block-pair enumeration must plan as a hash-
+    partitionable EQUI-join on the exploded (bl, br) pair key — never
+    a BroadcastNestedLoopJoin/CartesianProduct, which would collect
+    the packed corpus through the driver (the round-7 sf2.5 rung
+    measured that theta-join at 2× the O(n²) compute envelope)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.0]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    df = dedup.embedding_dup_pairs(emb, threshold=0.99, n_blocks=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_dup_pairs_cross_block(spark):
     """Pairs spanning different blocks (id % n_blocks differs) and both
     orientations must each be emitted exactly once, canonicalized."""
