@@ -602,3 +602,4 @@ from . import queries_wave38  # noqa: E402,F401
 from . import queries_wave39  # noqa: E402,F401
 from . import queries_wave40  # noqa: E402,F401
 from . import queries_wave41  # noqa: E402,F401
+from . import queries_wave42  # noqa: E402,F401
