@@ -603,3 +603,4 @@ from . import queries_wave39  # noqa: E402,F401
 from . import queries_wave40  # noqa: E402,F401
 from . import queries_wave41  # noqa: E402,F401
 from . import queries_wave42  # noqa: E402,F401
+from . import queries_wave43  # noqa: E402,F401
