@@ -443,24 +443,25 @@ def embedding_dup_pairs(
     n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact pairwise cosine near-dup over embeddings as a DISTRIBUTED
-    block-matrix similarity join: vectors are packed into `n_blocks`
-    row blocks, the upper triangle of block pairs is enumerated as an
-    EQUI-join on exploded composite pair keys, and each task matmuls
-    one block pair with numpy (Arrow batch in, BLAS dgemm, sparse
-    thresholded pairs out).
+    block-matrix similarity join: each vector fans out to its
+    B(B+1)/2-triangle pair keys with an L/R side tag, ONE hash
+    shuffle on (bl, br) clusters each block pair at its task, and
+    applyInPandas assembles the two matrices and matmuls them with
+    numpy (Arrow batch in, BLAS dgemm, sparse thresholded pairs out).
 
-    Pair enumeration is hash-partitioned, never driver-brokered: the
-    left side replicates block ``b`` to keys ``(b, r) for r ≥ b`` and
-    the right side to ``(l, b) for l ≤ b``, so the join on
-    ``(bl, br)`` matches each unordered block pair exactly once and
-    Catalyst plans a shuffled equi-join spread evenly over the
-    B(B+1)/2 keys. (The previous ``L.__b <= R.__b`` theta-join could
-    only plan as BroadcastNestedLoopJoin — silently collecting the
-    whole packed corpus through the driver, the exact 100 TB OOM this
-    operator was written to avoid; measured 2× worse than the O(n²)
-    compute envelope at the 25× local rung.) Peak task memory is two
-    blocks; shuffle volume is ~n_blocks replicas of the corpus, split
-    across both join sides. Exact all-pairs is inherently O(n²)
+    Pair enumeration is hash-partitioned, never driver-brokered: a
+    vector in block ``b`` is the L side of pairs ``(b, r) for r ≥ b``
+    and the R side of ``(l, b) for l ≤ b``, so every unordered block
+    pair materializes exactly once, directly from vector-sized rows.
+    Two prior shapes measured worse at the 25× local rung: a
+    ``L.__b <= R.__b`` theta-join over collect_list-packed blocks
+    plans as BroadcastNestedLoopJoin (collects the packed corpus
+    through the driver — the exact 100 TB OOM this operator exists to
+    avoid; 2× the O(n²) compute envelope), and an equi-join over the
+    packed rows spends its wall sort-merging multi-MB nested cells
+    (UnsafeRow (de)serialization of giant rows). Shuffle volume is
+    B+1 corpus replicas of plain vector rows; peak task memory is two
+    blocks only at matmul time. Exact all-pairs is inherently O(n²)
     compute at any layout; for corpora beyond dim-table size generate
     candidates with similarity.lsh_bucketed_neighbors / minhash bands
     and verify only those pairs — this operator is the exact path and
@@ -489,85 +490,103 @@ def embedding_dup_pairs(
             size = int(str(emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
         except Exception:
             size = None
+        parallelism = emb.sparkSession.sparkContext.defaultParallelism
         if size is None or size <= 0 or size > (1 << 50):
             n_blocks = max(1, math.ceil(emb.select(id_col).count() / 4096))
         else:
-            # floor of 4 blocks once the corpus is non-trivial: packing
-            # everything into ONE collect_list row makes a single giant
-            # nested Arrow cell whose (de)serialization serializes on
-            # one task — 4+ blocks spread it across the cluster at
-            # identical steady-state cost
+            # block count serves TWO masters:
+            #  - bytes: ≥1 block per ~8 MB of scan so a block pair fits
+            #    in task memory (dominates at cluster scale);
+            #  - CPU: B(B+1)/2 ≥ 4×parallelism so the matmul stage has
+            #    enough tasks to saturate the cluster — the stage is
+            #    compute-bound but byte-LIGHT, the exact shape AQE's
+            #    byte-based coalescing mis-sizes (measured at the 25×
+            #    local rung: B=4 → 10 pairs coalesced onto 3 tasks,
+            #    2.4× the fixed wall), capped so a block never drops
+            #    under ~256 KB of vectors (tiny-matmul overhead).
             min_blocks = 4 if size > (256 << 10) else 1
-            n_blocks = max(min_blocks, min(1024, math.ceil(size / block_bytes)))
+            b_bytes = math.ceil(size / block_bytes)
+            b_cpu = math.ceil((math.sqrt(1.0 + 32.0 * parallelism) - 1) / 2)
+            b_cap = max(1, size // (256 << 10))
+            n_blocks = max(min_blocks, min(1024, max(b_bytes, min(b_cpu, b_cap))))
 
     v = emb.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    # pack each block into one row: ids + row-major matrix, pairing
-    # preserved by packing structs (two collect_lists would not be)
-    packed = (
-        v.groupBy(F.pmod(F.col("__id"), F.lit(n_blocks)).alias("__b"))
-        .agg(F.collect_list(F.struct("__id", "__v")).alias("__rows"))
-        .select(
-            "__b",
-            F.transform("__rows", lambda r: r["__id"]).alias("__ids"),
-            F.transform("__rows", lambda r: r["__v"]).alias("__vecs"),
-        )
+    # fan each VECTOR (not a packed block) out to its pair keys with a
+    # left/right side tag: a vector in block b is the L side of pairs
+    # (b, r>=b) and the R side of pairs (l<=b, b). One explode + one
+    # hash shuffle on the (bl, br) key, then applyInPandas assembles
+    # both block matrices directly inside the pair's task. vs packing
+    # blocks with collect_list and equi-joining packed rows: no
+    # multi-MB nested cells riding a sort-merge join (UnsafeRow
+    # (de)serialization of giant rows dominated that plan's wall),
+    # identical B+1 corpus-copy shuffle volume, and the rows crossing
+    # the wire stay vector-sized so task memory is two blocks only at
+    # matmul time.
+    b = F.pmod(F.col("__id"), F.lit(n_blocks)).cast("long")
+    lkeys = F.transform(
+        F.sequence(b, F.lit(n_blocks - 1).cast("long")),
+        lambda r: F.struct(b.alias("bl"), r.alias("br"), F.lit(0).alias("side")),
     )
-    top = F.lit(n_blocks - 1).cast("long")
-    left = packed.select(
-        F.col("__b").alias("bl"),
-        F.explode(F.sequence(F.col("__b").cast("long"), top)).alias("br"),
-        F.col("__ids").alias("lids"),
-        F.col("__vecs").alias("lvecs"),
+    rkeys = F.transform(
+        F.sequence(F.lit(0).cast("long"), b),
+        lambda l: F.struct(l.alias("bl"), b.alias("br"), F.lit(1).alias("side")),
     )
-    right = packed.select(
-        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__b").cast("long"))).alias("bl"),
-        F.col("__b").alias("br"),
-        F.col("__ids").alias("rids"),
-        F.col("__vecs").alias("rvecs"),
+    ex = v.select(
+        F.explode(F.concat(lkeys, rkeys)).alias("__k"), "__id", "__v"
+    ).select(
+        F.col("__k.bl").alias("bl"),
+        F.col("__k.br").alias("br"),
+        F.col("__k.side").alias("side"),
+        "__id",
+        "__v",
     )
-    # equi-join on the composite pair key: output partitioning is
-    # hash(bl, br) over the shuffle-partition count, so the B(B+1)/2
-    # matmul tasks land evenly with no further repartition
-    pairs = left.join(right, ["bl", "br"]).select(
-        "bl", "br", "lids", "lvecs", "rids", "rvecs"
-    )
+    # pin the pair partitioning EXPLICITLY: the matmul stage is
+    # compute-bound but byte-light, the exact shape AQE's byte-based
+    # coalescing mis-sizes; a user repartition(n, keys) is exempt
+    # from coalescing and satisfies applyInPandas' clustering
+    # requirement, so no second exchange is added
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    ex = ex.repartition(min(n_pairs, 4096), "bl", "br")
 
-    def block_pair(batches):
+    def block_pair(key, pdf):
         import pandas as pd
 
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                li = np.asarray(row["lids"], dtype="int64")
-                ri = np.asarray(row["rids"], dtype="int64")
-                lm = np.stack(row["lvecs"])
-                rm = np.stack(row["rvecs"])
-                lm /= np.linalg.norm(lm, axis=1, keepdims=True)
-                rm /= np.linalg.norm(rm, axis=1, keepdims=True)
-                sims = lm @ rm.T
-                mask = sims >= threshold
-                if row["bl"] == row["br"]:
-                    # diagonal block: each unordered pair once
-                    mask &= li[:, None] < ri[None, :]
-                else:
-                    # off-diagonal: every cross pair appears exactly once
-                    # (in arbitrary orientation) — canonicalize below
-                    mask &= li[:, None] != ri[None, :]
-                ai, bj = np.nonzero(mask)
-                if len(ai) == 0:
-                    continue
-                a, b = li[ai], ri[bj]
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.minimum(a, b),
-                        "id_b": np.maximum(a, b),
-                        "cosine": np.round(sims[ai, bj], 6),
-                    }
-                )
+        bl, br = key[0], key[1]
+        lmask = pdf["side"].to_numpy() == 0
+        li = pdf["__id"].to_numpy()[lmask]
+        ri = pdf["__id"].to_numpy()[~lmask]
+        if len(li) == 0 or len(ri) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        vecs = pdf["__v"].to_numpy()
+        lm = np.stack(vecs[lmask])
+        rm = np.stack(vecs[~lmask])
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        mask = sims >= threshold
+        if bl == br:
+            # diagonal block: each unordered pair once
+            mask &= li[:, None] < ri[None, :]
+        else:
+            # off-diagonal: every cross pair appears exactly once
+            # (in arbitrary orientation) — canonicalize below
+            mask &= li[:, None] != ri[None, :]
+        ai, bj = np.nonzero(mask)
+        a, bb = li[ai], ri[bj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, bb),
+                "id_b": np.maximum(a, bb),
+                "cosine": np.round(sims[ai, bj], 6),
+            }
+        )
 
-    return pairs.mapInPandas(
+    return ex.groupBy("bl", "br").applyInPandas(
         block_pair, "id_a bigint, id_b bigint, cosine double"
     )
 
