@@ -604,3 +604,4 @@ from . import queries_wave40  # noqa: E402,F401
 from . import queries_wave41  # noqa: E402,F401
 from . import queries_wave42  # noqa: E402,F401
 from . import queries_wave43  # noqa: E402,F401
+from . import queries_wave44  # noqa: E402,F401

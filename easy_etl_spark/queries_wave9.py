@@ -129,10 +129,20 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge-iterator close: per oriented edge (u,w), triangles counted
     # at their orientation-minimal apex = |N+(u) ∩ N+(w)| on the sorted
     # out-adjacency arrays — the wedge set never materializes or
-    # shuffles; the intersection is per-row CPU inside one stage
+    # shuffles; the intersection is per-row CPU inside one stage.
+    # The adjacency side carries a shuffle_hash hint: it is node-count
+    # rows × O(sqrt(m)) arrays, and AQE's sizeInBytes for nested-array
+    # aggregates underestimates badly enough that it elected to
+    # BROADCAST it at the 25× local rung — driver OOM (observed), and
+    # on a real cluster the same. Shuffled-hash keeps it executor-side
+    # at every scale; per-key adjacency lists make the hash build cheap.
     eo = adj_o.select("v", F.col("ds").alias("du"), F.explode("ds").alias("w"))
     closed = eo.join(
-        adj_o.select(F.col("v").alias("w"), F.col("ds").alias("dw")), "w", "left"
+        adj_o.select(F.col("v").alias("w"), F.col("ds").alias("dw")).hint(
+            "shuffle_hash"
+        ),
+        "w",
+        "left",
     ).select(
         F.when(F.col("dw").isNull(), F.lit(0))
         .otherwise(F.size(F.array_intersect("du", "dw")))
