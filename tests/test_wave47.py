@@ -1,0 +1,69 @@
+"""Wave-47 pins: W1 metric axioms on the real matrix + a hand-built
+shift fixture with a known closed-form distance, and Mann-Whitney
+agreement with an independent scipy-free python replay."""
+
+from __future__ import annotations
+
+import datetime as dt  # noqa: F401 (fixture parity with sibling files)
+
+from pyspark.sql import functions as F
+
+from easy_etl_spark.queries import QUERIES
+from easy_etl_spark.session import load_table
+
+
+def test_wasserstein_metric_axioms(spark, sf_dir):
+    rows = QUERIES["wasserstein_source_pairs"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_src = docs.select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.emd_units >= 0 and r.w1 >= 0.0
+
+
+def test_wasserstein_shift_fixture(spark, tmp_path):
+    """Source B = source A shifted by +5 chars => W1 exactly 5."""
+    rows = []
+    for i in range(100):
+        length = 10 + (i % 7)
+        rows.append((i, "x", "en", "A", length))
+        rows.append((1000 + i, "x", "en", "B", length + 5))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["wasserstein_source_pairs"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].w1 == 5.0
+
+
+def test_mann_whitney_python_replay(spark, sf_dir):
+    r = QUERIES["mann_whitney_u"](spark, sf_dir).first()
+    docs = load_table(spark, sf_dir, "documents")
+    va = [x.n_chars for x in docs.where(F.col("source") == "src0").collect()]
+    vb = [x.n_chars for x in docs.where(F.col("source") == "src1").collect()]
+    assert r.n1 == len(va) and r.n2 == len(vb)
+    # independent midrank replay
+    allv = sorted(va + vb)
+    first = {}
+    for idx, v in enumerate(allv, start=1):
+        first.setdefault(v, idx)
+    count = {}
+    for v in allv:
+        count[v] = count.get(v, 0) + 1
+    r1 = sum(first[v] + (count[v] - 1) / 2.0 for v in va)
+    u1 = r1 - len(va) * (len(va) + 1) / 2.0
+    assert r.u1_x2 == int(round(2 * u1))
+    assert abs(r.z) < 50  # sanity magnitude
+
+
+def test_mann_whitney_shifted_fixture(spark, tmp_path):
+    """src0 strictly larger than src1 => U1 = n1*n2 (maximal), z > 0."""
+    rows = [(i, "x", "en", "src0", 1000 + i) for i in range(30)]
+    rows += [(100 + i, "x", "en", "src1", 10 + i) for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = QUERIES["mann_whitney_u"](spark, str(tmp_path)).first()
+    assert r.u1_x2 == 2 * 30 * 30
+    assert r.z > 6.0
