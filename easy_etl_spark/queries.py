@@ -608,3 +608,4 @@ from . import queries_wave44  # noqa: E402,F401
 from . import queries_wave45  # noqa: E402,F401
 from . import queries_wave46  # noqa: E402,F401
 from . import queries_wave47  # noqa: E402,F401
+from . import queries_wave48  # noqa: E402,F401
