@@ -548,8 +548,12 @@ def embedding_dup_pairs(
     # coalescing mis-sizes; a user repartition(n, keys) is exempt
     # from coalescing and satisfies applyInPandas' clustering
     # requirement, so no second exchange is added
+    # floor of 2 partitions: repartition(1, keys) compiles to Exchange
+    # SinglePartition — the exact shape the catalog's global-sort gate
+    # (rightly) flags; at 2 the plan stays hash-partitioned and the
+    # single-block case just leaves one empty slot
     n_pairs = n_blocks * (n_blocks + 1) // 2
-    ex = ex.repartition(min(n_pairs, 4096), "bl", "br")
+    ex = ex.repartition(min(max(n_pairs, 2), 4096), "bl", "br")
 
     def block_pair(key, pdf):
         import pandas as pd

@@ -157,10 +157,13 @@ def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN max(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
                      OVER (ORDER BY t_week) = 1
                 THEN 0.0
-                ELSE round(exp(sum(CASE WHEN n_event < n_risk AND n_event > 0
-                                        THEN ln(1.0 - n_event * 1.0 / n_risk)
-                                        ELSE 0.0 END)
-                               OVER (ORDER BY t_week)), 6) END AS survival
+                ELSE round(exp(
+                       CAST(sum(CASE WHEN n_event < n_risk AND n_event > 0
+                                THEN CAST(floor(ln(1.0 - n_event * 1.0 / n_risk)
+                                          * 1000000.0 + 0.5) AS BIGINT)
+                                ELSE 0 END)
+                            OVER (ORDER BY t_week) AS DOUBLE)
+                       / 1000000.0), 6) END AS survival
     FROM km
     """,
 )
@@ -173,13 +176,18 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE window pass over orders partitioned by customer (the
     natural shuffle key, no skew — order counts per customer are
-    bounded), then every downstream frame operates on the ~week-count-
-    sized aggregate: the reverse-cumulative at-risk count, cumulative
-    log-hazard, and the zero-hazard kill switch are all windows over a
-    dims-sized table. Survival is exp(Σ ln(1-d/n)) with d==n handled
-    by an explicit sticky zero flag, because Spark's ln(0) is NULL
-    while SQL engines return -inf — the guard makes both emit exactly
-    0.0 from the first exhausted week onward."""
+    bounded), then every downstream cumulative over the week-count-
+    sized aggregate rides the BANDED prefix primitives
+    (`packing.global_running_offset` / `ranking.global_prior_max`) —
+    no Sort→Exchange-SinglePartition stage anywhere, so the catalog's
+    global-sort gate holds even though the frame is provably tiny.
+    The log-hazard is quantized to integer micro-nats (the
+    unigram_logprob convention) so its prefix sum is EXACT integer
+    arithmetic — order-free, engine-identical. Survival is
+    exp(Σunits/1e6) with d==n handled by an explicit sticky zero flag,
+    because Spark's ln(0) is NULL while SQL engines return -inf — the
+    guard makes both emit exactly 0.0 from the first exhausted week
+    onward."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
     )
@@ -199,29 +207,37 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("event")).cast("bigint").alias("n_censored"),
         F.count(F.lit(1)).alias("n"),
     )
-    # the KM table is week-count-sized from here on: single-partition
-    # windows over it are dims-only by construction
-    desc = Window.orderBy(F.col("t_week").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # the KM table is week-count-sized from here on, but cumulatives
+    # still ride the BANDED primitives — never an unpartitioned window
+    from .operators.packing import global_running_offset
+    from .operators.ranking import global_prior_max
+
+    total = wk.agg(F.sum("n").cast("bigint").alias("__N"))
+    km = (
+        global_running_offset(wk, "n", "t_week", out_col="__before")
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_risk", (F.col("__N") - F.col("__before")).cast("bigint"))
     )
-    asc = Window.orderBy("t_week").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    km = wk.withColumn("n_risk", F.sum("n").over(desc).cast("bigint"))
-    hazard = F.when(
+    hazard_units = F.when(
         (F.col("n_event") < F.col("n_risk")) & (F.col("n_event") > 0),
-        F.log(1.0 - F.col("n_event") / F.col("n_risk")),
-    ).otherwise(F.lit(0.0))
-    dead = F.max(
-        F.when(F.col("n_event") >= F.col("n_risk"), 1).otherwise(0)
-    ).over(asc)
+        F.floor(
+            F.log(1.0 - F.col("n_event") / F.col("n_risk")) * 1000000.0 + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    km = km.withColumn("__h", hazard_units).withColumn(
+        "__dead", F.when(F.col("n_event") >= F.col("n_risk"), 1).otherwise(0)
+    )
+    km = global_running_offset(km, "__h", "t_week", out_col="__h_before")
+    km = global_prior_max(km, "__dead", [F.col("t_week")], out_col="__dead_before")
+    dead = F.greatest(F.coalesce(F.col("__dead_before"), F.lit(0)), F.col("__dead"))
+    h_incl = (F.col("__h_before") + F.col("__h")).cast("double") / 1000000.0
     return km.select(
         "t_week",
         "n_risk",
         "n_event",
         "n_censored",
         F.when(dead == 1, F.lit(0.0))
-        .otherwise(F.round(F.exp(F.sum(hazard).over(asc)), 6))
+        .otherwise(F.round(F.exp(h_incl), 6))
         .alias("survival"),
     )
 

@@ -188,10 +188,10 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation. U is reported ×2 so the statistic is an exact
     integer; z is the standard large-sample test value.
 
-    Scale: one histogram shuffle to per-value counts, one window over
-    the value grid (bounded by the length domain), one 4-number
-    reduce. The windowed frame is value-domain-sized, never
-    corpus-sized."""
+    Scale: one histogram shuffle to per-value counts, one BANDED
+    exclusive prefix sum over the value grid (bounded by the length
+    domain — and still never an unpartitioned window), one 4-number
+    reduce."""
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("source").isin(MW_SRC_A, MW_SRC_B))
@@ -203,9 +203,13 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     byv = d.groupBy("v").agg(
         F.count(F.lit(1)).alias("t"), F.sum("g1").cast("bigint").alias("t1")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = byv.withColumn(
-        "below", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint")
+    # exclusive below-count via the BANDED prefix sum — the frame is
+    # value-domain-sized, but the catalog convention is that even
+    # dims-sized cumulatives never compile to an unpartitioned window
+    from .operators.packing import global_running_offset
+
+    ranked = global_running_offset(byv, "t", "v", out_col="__below").withColumn(
+        "below", F.col("__below").cast("bigint")
     )
     s = ranked.agg(
         F.sum("t1").cast("bigint").alias("n1"),
