@@ -611,3 +611,4 @@ from . import queries_wave47  # noqa: E402,F401
 from . import queries_wave48  # noqa: E402,F401
 from . import queries_wave49  # noqa: E402,F401
 from . import queries_wave50  # noqa: E402,F401
+from . import queries_wave51  # noqa: E402,F401
