@@ -1195,3 +1195,112 @@ def dhash_cross_dups(
         .select(F.col("new_id").alias("new_id"))
         .distinct()
     )
+
+
+def image_blur_scores(media_df: DataFrame) -> DataFrame:
+    """Variance-of-Laplacian sharpness/blur score over the DECODED
+    green channel — the classic curation signal for dropping blurry
+    images before vision-model training. The 4-neighbor Laplacian and
+    its variance are computed in exact int64 (var = (n·Σl² − (Σl)²)
+    / n², one float division at the end), so an oracle replaying the
+    fixture's closed-form pixels verifies the whole decode→convolve
+    pipeline bit-for-bit. Per-partition mapInPandas, zero shuffle —
+    the 100 TB shape is a pure map over blob splits."""
+    import sys
+
+    from . import jpegcodec
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        cloudpickle.register_pickle_by_value(jpegcodec)
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "n_interior": [], "lap_sum": [], "lap_sq_sum": [], "lap_var": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                a = decode_image(bytes(blob))
+                if a.shape[2] == 1:
+                    a = np.repeat(a, 3, axis=2)
+                g = a[:, :, 1].astype("int64")
+                h, w = g.shape
+                lap = (
+                    4 * g[1:-1, 1:-1]
+                    - g[1:-1, :-2]
+                    - g[1:-1, 2:]
+                    - g[:-2, 1:-1]
+                    - g[2:, 1:-1]
+                )
+                n = int(lap.size)
+                sl = int(lap.sum())
+                sl2 = int((lap * lap).sum())
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_interior"].append(n)
+                out["lap_sum"].append(sl)
+                out["lap_sq_sum"].append(sl2)
+                out["lap_var"].append(round(float(n * sl2 - sl * sl) / (n * n), 4))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run,
+        "doc_id bigint, width int, height int, n_interior bigint,"
+        " lap_sum bigint, lap_sq_sum bigint, lap_var double",
+    )
+
+
+def audio_zcr_stats(media_df: DataFrame) -> DataFrame:
+    """Zero-crossing rate + peak + RMS over DECODED PCM samples — the
+    first-line audio quality triage (silence, clipping, noisiness)
+    before audio-model training. Crossing = sign change of the
+    (s ≥ 0) indicator between consecutive samples; counts and energy
+    sums are exact int64 so the fixture oracle replays them as pure
+    integer SQL. Per-partition mapInPandas, zero shuffle."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "n_zero_crossings": [],
+                "zcr": [], "peak_abs": [], "rms": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                s, _rate = decode_wav(bytes(blob))
+                # (n_frames, channels) → flat mono stream (fixtures are
+                # mono; multi-channel would interleave, still exact)
+                s = np.asarray(s, dtype="int64").reshape(-1)
+                nn = (s >= 0).astype("int64")
+                zc = int(np.abs(np.diff(nn)).sum())
+                n = int(s.size)
+                e = int((s * s).sum())
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["n_zero_crossings"].append(zc)
+                out["zcr"].append(round(zc / (n - 1), 6))
+                out["peak_abs"].append(int(np.abs(s).max()))
+                out["rms"].append(round((e / n) ** 0.5, 4))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run,
+        "doc_id bigint, n_samples bigint, n_zero_crossings bigint,"
+        " zcr double, peak_abs bigint, rms double",
+    )
