@@ -107,6 +107,41 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def ohlc_stream(events: DataFrame, minutes: int = 60, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked OHLC candles per (window, event_type) — streaming
+    twin of the batch `ohlc_hourly` query. Open/close use min_by /
+    max_by over the TOTAL (ts, event_id) order, which are incremental
+    declarative aggregates (unlike the batch twin's row_number rank,
+    which streaming can't run) yet pick the identical rows because the
+    order is total; prices are exact integer cents. State per key is
+    five scalars — bounded by the watermark horizon."""
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+    ordk = F.struct("ts", "event_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("event_type", "ts", "event_id", cents.alias("cents"))
+        .groupBy(F.window("ts", f"{minutes} minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("cents", ordk).cast("bigint").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max_by("cents", ordk).cast("bigint").alias("close_cents"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n_events",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain a stream into an in-memory table with AvailableNow (test
     harness; a deployment points this at a real sink + checkpoint)."""

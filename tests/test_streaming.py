@@ -518,3 +518,29 @@ def test_streaming_image_dedup_ingest_lands_only_novel(spark, sf_dir, tmp_path):
     )
     writer2.start().awaitTermination()
     assert sink.read().count() == n
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, events_dir):
+    """OHLC candles: the streaming min_by/max_by formulation must pick
+    the identical open/close rows as the batch row_number rank — both
+    resolve the same TOTAL (ts, event_id) order."""
+    from easy_etl_spark.queries import QUERIES
+
+    stream = jobs.read_events_stream(spark, events_dir)
+    agg = jobs.ohlc_stream(stream, minutes=60)
+    jobs.run_to_memory(agg, "t_ohlc")
+    got = {
+        (r["hour_start"], r["event_type"]): (
+            r["n_events"], r["open_cents"], r["high_cents"],
+            r["low_cents"], r["close_cents"],
+        )
+        for r in spark.table("t_ohlc").collect()
+    }
+    batch = {
+        (r["hour_start"], r["event_type"]): (
+            r["n_events"], r["open_cents"], r["high_cents"],
+            r["low_cents"], r["close_cents"],
+        )
+        for r in QUERIES["ohlc_hourly"](spark, sf_dir).collect()
+    }
+    assert got == batch and got
