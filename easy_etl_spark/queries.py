@@ -616,3 +616,4 @@ from . import queries_wave52  # noqa: E402,F401
 from . import queries_wave53  # noqa: E402,F401
 from . import queries_wave54  # noqa: E402,F401
 from . import queries_wave55  # noqa: E402,F401
+from . import queries_wave56  # noqa: E402,F401
