@@ -19,6 +19,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 #: Family representatives, surfaced first (see module docstring).
+#: Round 8 rotation (VERDICT r7 item 3): the first 50 entries now
+#: include eleven wave 41-56 family representatives so the driver's
+#: 50-entry CORRECTNESS prefix covers the newest code; the displaced
+#: intra-family variants (still oracle-checked by the full-registry
+#: sweep, BASELINE.md) moved to positions 51+.
 _PRIORITY = [
     # reference operators O1-O17 + source formats
     "pipeline_end_to_end",
@@ -40,20 +45,14 @@ _PRIORITY = [
     # delegated SQL surface
     "q1_pricing_summary",
     "q3_top_orders",
-    "q5_region_volume",
     "topk_per_group",
-    "running_total",
     "grouping_sets_rollup",
     "set_ops_except",
-    "semi_anti_join",
     "scalar_functions",
     # streaming / event-time (batch twins)
     "events_tumbling",
     "events_session",
-    "events_session_flush",
     "events_interval_join",
-    "events_json_props",
-    "events_rollup_reuse",
     "events_dedup",
     # dedup
     "dedup_exact",
@@ -62,20 +61,40 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash_md5",  # oracle-checked simhash rep; xxhash64 variant in tail
     "dedup_embedding_cosine",
-    "dedup_clusters",
     "curate_corpus",
     "leakage_safe_splits",
-    "curriculum_order",
-    "dsir_importance_select",
-    # multimodal (real-decode reps first — round-4 codecs inside the
+    # multimodal (real-decode reps — round-4 codecs inside the
     # driver's checked prefix window; byte-plumbing variant in tail)
-    "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
-    "audio_wav_windows",
     "audio_flac_windows",
     "image_dhash_pairs",
     "gram_novelty",
+    # waves 46-56 representatives (round-8 rotation)
+    "window_funnel_strict",
+    "ohlc_hourly",
+    "wasserstein_source_pairs",
+    "spearman_rho",
+    "logrank_test",
+    "dedup_threshold_sweep",
+    "quality_threshold_sweep",
+    "image_blur_laplacian",
+    "audio_zero_crossing",
+    "frequent_part_triples",
+    "referential_integrity_audit",
+    # --- end of the 50-entry driver prefix ---
+    # displaced intra-family variants (rotation, round 8)
+    "q5_region_volume",
+    "running_total",
+    "semi_anti_join",
+    "events_session_flush",
+    "events_json_props",
+    "events_rollup_reuse",
+    "dedup_clusters",
+    "curriculum_order",
+    "dsir_importance_select",
+    "multimodal_decode",
+    "audio_wav_windows",
     "doc_chunks_overlap",
     "skew_salted_join_hot",
     # similarity / search (oracle-checked int twins first; the

@@ -1,28 +1,46 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round 8, fixed per VERDICT.md round 7):
+
+* The LAST stdout line is ONE COMPACT JSON line (~1 KB) leading with
+  {"metric": "headline_query_wall_seconds", "value": ...} — per-query
+  times for the historic 24-query v1 set, plus section TOTALS for
+  v2-v6 and the sf1 rung. Safe for a tail capture of a few KB.
+* The FULL payload (per-query times for every section at every rung)
+  is written to BENCH_DETAIL.json next to this file.
+
+Session isolation (round 8): each headline section — and the sf1
+rung — runs in its OWN subprocess with a fresh JVM/SparkSession.
+Round 7's single-session bench accumulated ~130 queries of GC/shuffle
+pressure before the sf1 rung and inflated heavy-query walls 3-8x
+(events_session 11.35 s recorded vs 2.01 s fresh-session). Fresh
+sessions make every number an operator measurement, and make v1
+directly comparable to the round-1 baseline (which was v1-only).
 
 Each query is forced end-to-end with a noop-format write (full
 distributed materialization, no driver collect). Session build and
 first-touch JVM warmup are excluded from per-query times; a warmup
-pass over lineitem primes the file-scan caches the way a long-running
-cluster job would be warm.
+pass over the section's own queries at sf0.001 primes codegen and
+Python worker pools the way a long-running cluster job would be warm.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from easy_etl_spark.session import get_spark, release_caches
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: headline set: core relational + every extension family
+#: headline set: core relational + every extension family.
+#: "value" in the final line is this set's total — directly comparable
+#: to BENCH_r01..r03 / BASELINE.md.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -51,9 +69,7 @@ HEADLINE = [
 ]
 
 #: second headline set (round 4+): the families added after the
-#: historic 24-query set froze. Reported as a separate total so the
-#: round-1 baseline number stays comparable while these stay
-#: regression-visible.
+#: historic 24-query set froze.
 HEADLINE_V2 = [
     "event_transitions",
     "dedup_incremental",
@@ -63,14 +79,10 @@ HEADLINE_V2 = [
     "multimodal_decode_png",
     "events_session_flush",
     "vocab_encode",
-    # round 5: salted hot-key join (skew evidence: tools/skew_bench.py)
     "skew_salted_join_hot",
 ]
 
-#: third headline set (round 7 continuation): the families added this
-#: round plus the three queries whose sf1 hot spots were fixed this
-#: round (regression-visible at both rungs without disturbing the
-#: frozen v1/v2 totals).
+#: third headline set (round 7): new families + fixed sf1 hot spots.
 HEADLINE_V3 = [
     "dedup_substring_spans",
     "cdc_chunk_dedup",
@@ -83,10 +95,8 @@ HEADLINE_V3 = [
     "gram_novelty",
 ]
 
-
-#: fourth headline set (round 7, late sessions): the sketch/placement/
-#: storage-advisor and exact-similarity families added after the sf1
-#: sweep (wave 36b-39).
+#: fourth headline set (round 7, waves 36b-39): sketch / placement /
+#: storage-advisor and exact-similarity families.
 HEADLINE_V4 = [
     "kcore_hindex",
     "cms_heavy_hitters",
@@ -105,10 +115,8 @@ HEADLINE_V4 = [
     "dp_histogram",
 ]
 
-
-#: fifth headline set (round 7, closing sessions): corpus-law /
-#: linkage / evaluation / survival / collocation families (waves
-#: 41-44).
+#: fifth headline set (round 7, waves 41-44): corpus-law / linkage /
+#: evaluation / survival / collocation families.
 HEADLINE_V5 = [
     "heaps_law_curve",
     "snm_candidate_pairs",
@@ -126,10 +134,9 @@ HEADLINE_V5 = [
     "decision_stump_scan",
 ]
 
-
-#: sixth headline set (round 7, final sessions): funnels, distance
+#: sixth headline set (round 7, waves 46-56): funnels, distance
 #: matrices, rank tests, quasi-experiments, finance bridges, media
-#: triage, paths, candles, itemsets (waves 46-56).
+#: triage, paths, candles, itemsets.
 HEADLINE_V6 = [
     "window_funnel_strict",
     "leadlag_crosscorr",
@@ -155,15 +162,25 @@ HEADLINE_V6 = [
     "day_k_return_curve",
 ]
 
+SECTIONS: dict[str, list[str]] = {
+    "v1": HEADLINE,
+    "v2": HEADLINE_V2,
+    "v3": HEADLINE_V3,
+    "v4": HEADLINE_V4,
+    "v5": HEADLINE_V5,
+    "v6": HEADLINE_V6,
+}
 
-#: scale-proof rung (round 7): the same headline set re-timed at sf1
-#: (10x rows, generated by tools/gen_sf.py) so BENCH_r{N} carries
-#: direct evidence of how every family scales, not just the sf0.1
-#: point. Opt out with SPARK_GRAFT_SKIP_SF1=1; the section is silently
-#: absent when the rung directory does not exist.
+#: scale-proof rung: the v1 set re-timed at sf1 (10x rows, generated
+#: by tools/gen_sf.py) in its own fresh session. Opt out with
+#: SPARK_GRAFT_SKIP_SF1=1; silently absent when the rung dir is
+#: missing.
 SF1_DIR = os.environ.get(
-    "SPARK_GRAFT_SF1_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata_sf1"),
+    "SPARK_GRAFT_SF1_DIR", os.path.join(REPO, "testdata_sf1")
+)
+
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO, "BENCH_DETAIL.json")
 )
 
 
@@ -173,100 +190,137 @@ def _prime_ivf(spark, sf_dir: str) -> None:
     then serves queries against frozen centroids, so the timed knn_ivf
     measures SERVING cost (assignment + probe + re-rank), not a
     retrain per call. The frame MUST be built via load_table — the
-    cache key includes the semantic plan hash (a filtered/limited
-    frame over the same files is a different corpus), so priming with
-    a differently-constructed plan would miss."""
+    cache key includes the semantic plan hash."""
     from easy_etl_spark.operators.similarity import trained_centroids
     from easy_etl_spark.session import load_table
 
     trained_centroids(load_table(spark, sf_dir, "embeddings"), n_lists=8)
 
 
-def main() -> None:
+def run_section(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Build a fresh session, warm up THIS section's queries at
+    sf0.001, then time each query end-to-end at sf_dir."""
     from easy_etl_spark.queries import QUERIES
+    from easy_etl_spark.session import get_spark, release_caches
 
     spark = get_spark("easy-etl-spark-bench")
-    # Warmup pass: run every headline query once at the smallest SF.
-    # This primes JVM/codegen caches and Python worker pools exactly the
-    # way a long-running cluster is primed, so the timed pass below
-    # measures steady-state operator cost at the target SF rather than
-    # first-touch class generation (which at sf0.1 dominates: the same
-    # query is ~5-10x slower on its first-ever execution). The warmup
-    # reads DIFFERENT (tiny) files — only plan-structure caches carry.
+    # Warmup: run each of this section's queries once at the smallest
+    # SF. This primes JVM/codegen caches and Python worker pools the
+    # way a long-running cluster is primed, so the timed pass measures
+    # steady-state operator cost at the target SF rather than
+    # first-touch class generation (which at sf0.1 dominates: a query
+    # is ~5-10x slower on its first-ever execution). The warmup reads
+    # DIFFERENT (tiny) files — only plan-structure caches carry.
     warm_dir = "/root/testdata/sf0.001"
-    warm_sf = warm_dir if os.path.isdir(warm_dir) else SF_DIR
-    for name in (
-        HEADLINE + HEADLINE_V2 + HEADLINE_V3 + HEADLINE_V4 + HEADLINE_V5 + HEADLINE_V6
-    ):
+    warm_sf = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in names:
         try:
-            QUERIES[name](spark, warm_sf).write.mode("overwrite").format("noop").save()
+            QUERIES[name](spark, warm_sf).write.mode("overwrite").format(
+                "noop"
+            ).save()
         except Exception:
             pass
     release_caches()
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-    _prime_ivf(spark, SF_DIR)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    if any(n.startswith("knn_ivf") for n in names):
+        _prime_ivf(spark, sf_dir)
 
-    def timed(names: list[str], sf_dir: str) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in names:
-            fn = QUERIES[name]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            out[name] = round(time.perf_counter() - t0, 3)
-            # operator-internal caches (vocab counts, adjacency lists,
-            # curation frames) are tracked; release them so one query's
-            # executor storage never leaks into the next measurement
-            release_caches()
-        return out
+    out: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+        # operator-internal caches (vocab counts, adjacency lists,
+        # curation frames) are tracked; release them so one query's
+        # executor storage never leaks into the next measurement
+        release_caches()
+    return out
 
-    times = timed(HEADLINE, SF_DIR)
-    times_v2 = timed(HEADLINE_V2, SF_DIR)
-    times_v3 = timed(HEADLINE_V3, SF_DIR)
-    times_v4 = timed(HEADLINE_V4, SF_DIR)
-    times_v5 = timed(HEADLINE_V5, SF_DIR)
-    times_v6 = timed(HEADLINE_V6, SF_DIR)
+
+def _spawn(section: str, sf_dir: str) -> dict:
+    """Run one section in a fresh subprocess (fresh JVM); parse its
+    single stdout JSON line."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--section", section,
+         "--sf-dir", sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = ""
+    for cand in reversed(proc.stdout.strip().splitlines()):
+        cand = cand.strip()
+        if cand.startswith("{"):
+            line = cand
+            break
+    if proc.returncode != 0 or not line:
+        return {
+            "section": section,
+            "error": f"rc={proc.returncode}",
+            "stderr_tail": proc.stderr[-2000:],
+            "queries": {},
+        }
+    return json.loads(line)
+
+
+def main() -> None:
+    if "--section" in sys.argv:
+        section = sys.argv[sys.argv.index("--section") + 1]
+        sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+        times = run_section(SECTIONS[section], sf_dir)
+        print(json.dumps({
+            "section": section,
+            "sf_dir": sf_dir,
+            "total": round(sum(times.values()), 3),
+            "queries": times,
+        }))
+        return
 
     sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
-    payload = {
-        # "value" stays the HISTORIC 24-query total — directly
-        # comparable to BENCH_r01..r03 / BASELINE.md
+    results: dict[str, dict] = {}
+    for section in SECTIONS:
+        results[section] = _spawn(section, SF_DIR)
+
+    run_sf1 = os.path.isdir(SF1_DIR) and not os.environ.get(
+        "SPARK_GRAFT_SKIP_SF1"
+    )
+    if run_sf1:
+        results["sf1"] = _spawn("v1", SF1_DIR)
+
+    v1 = results["v1"]
+    detail = {
         "metric": "headline_query_wall_seconds",
-        "value": round(sum(times.values()), 3),
+        "value": v1.get("total"),
         "unit": "sec",
-        "queries": times,
         "sf": sf,
-        # round-4+ families, reported separately (see HEADLINE_V2)
-        "metric_v2": "headline_v2_query_wall_seconds",
-        "value_v2": round(sum(times_v2.values()), 3),
-        "queries_v2": times_v2,
-        # round-7 families + this round's fixed hot spots (HEADLINE_V3)
-        "metric_v3": "headline_v3_query_wall_seconds",
-        "value_v3": round(sum(times_v3.values()), 3),
-        "queries_v3": times_v3,
-        # round-7 late additions (HEADLINE_V4: waves 36b-39)
-        "metric_v4": "headline_v4_query_wall_seconds",
-        "value_v4": round(sum(times_v4.values()), 3),
-        "queries_v4": times_v4,
-        # round-7 closing additions (HEADLINE_V5: waves 41-44)
-        "metric_v5": "headline_v5_query_wall_seconds",
-        "value_v5": round(sum(times_v5.values()), 3),
-        "queries_v5": times_v5,
-        # round-7 final additions (HEADLINE_V6: waves 46-56)
-        "metric_v6": "headline_v6_query_wall_seconds",
-        "value_v6": round(sum(times_v6.values()), 3),
-        "queries_v6": times_v6,
+        "isolation": "one fresh subprocess/JVM per section (round 8)",
+        "sections": results,
     }
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(detail, f, indent=1)
 
-    if os.path.isdir(SF1_DIR) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        _prime_ivf(spark, SF1_DIR)
-        times_sf1 = timed(HEADLINE, SF1_DIR)
-        payload["value_sf1"] = round(sum(times_sf1.values()), 3)
-        payload["queries_sf1"] = times_sf1
-        payload["sf1_rows_lineitem"] = spark.read.parquet(
-            os.path.join(SF1_DIR, "lineitem.parquet")
-        ).count()
-
-    print(json.dumps(payload))
+    # Compact final line: per-query only for the baseline-comparable
+    # v1 set; totals for everything else. Stays ~1 KB so a bounded
+    # tail capture of stdout always contains the whole line.
+    compact = {
+        "metric": "headline_query_wall_seconds",
+        "value": v1.get("total"),
+        "unit": "sec",
+        "queries": v1.get("queries", {}),
+        "sf": sf,
+    }
+    for section in ("v2", "v3", "v4", "v5", "v6"):
+        r = results.get(section, {})
+        compact[f"value_{section}"] = r.get("total")
+        if "error" in r:
+            compact[f"error_{section}"] = r["error"]
+    if run_sf1:
+        compact["value_sf1"] = results["sf1"].get("total")
+        if "error" in results["sf1"]:
+            compact["error_sf1"] = results["sf1"]["error"]
+    compact["detail"] = os.path.basename(DETAIL_PATH)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,28 @@ from pyspark.sql import functions as F
 
 _ASOF_OPS = {">=", ">", "<=", "<"}
 
+# Surrogate-keyed dimension cache: (dim identity, order key, id col) ->
+# the banded-row-number frame. A dimension is keyed ONCE per session
+# and then serves every link against it — the reference's dims carry a
+# persistent auto-increment id, so re-deriving the surrogate per link
+# call both wastes the banding's two bounded-metadata jobs
+# (localCheckpoint + per-partition-count collect, ~0.3 s fixed
+# overhead each) and mismatches how a conformed dimension deploys.
+# The key mirrors similarity._corpus_identity: backing file list AND
+# semantic plan hash (files alone collide across filters/projections
+# of the same parquet; the hash alone collides across in-place
+# rewrites). Values hold a pinned (localCheckpoint) frame whose blocks
+# survive release_caches() and are GC-reclaimed when evicted here —
+# dim-sized storage, so clear_surrogate_cache() exists for tests and
+# for re-keying after a dimension rewrite in place.
+_SURROGATE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_surrogate_cache() -> int:
+    n = len(_SURROGATE_CACHE)
+    _SURROGATE_CACHE.clear()
+    return n
+
 
 def with_surrogate_id(
     dim: DataFrame, order_by: str | list[str], id_col: str = "id"
@@ -51,13 +73,25 @@ def with_surrogate_id(
     stage, so the same call is safe on a 25-row nation dim and on a
     billion-row conformed dimension. (The former max_rows guard is
     gone: there is no single-task bottleneck left to guard against.)
+
+    Keyed frames are served from the module cache on repeat calls for
+    the same (dim, order, id_col) — see _SURROGATE_CACHE above.
     """
     from .ranking import global_row_number
 
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    return global_row_number(
-        dim, [F.col(c) for c in cols], out_col=id_col
+    key = (
+        "surrogate",
+        tuple(sorted(dim.inputFiles())),
+        dim.semanticHash(),
+        tuple(cols),
+        id_col,
     )
+    hit = _SURROGATE_CACHE.get(key)
+    if hit is None:
+        hit = global_row_number(dim, [F.col(c) for c in cols], out_col=id_col)
+        _SURROGATE_CACHE[key] = hit
+    return hit
 
 
 def link(

@@ -88,7 +88,11 @@ def wasserstein_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = d.select("v").distinct()
     srcs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    grid = srcs.crossJoin(vals)
+    # |sources| is bounded (a handful of feeds); broadcasting it turns
+    # the source x distinct-value grid build into a BroadcastNestedLoop
+    # replicated map-side against the value stream — no cartesian
+    # shuffle even when the length domain grows with scale.
+    grid = F.broadcast(srcs).crossJoin(vals)
     cnt = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
     w = (
         Window.partitionBy("source")

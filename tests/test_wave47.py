@@ -22,6 +22,22 @@ def test_wasserstein_metric_axioms(spark, sf_dir):
         assert r.emd_units >= 0 and r.w1 >= 0.0
 
 
+def test_wasserstein_grid_is_broadcast_not_cartesian(spark, sf_dir):
+    """The source x distinct-value grid must build as a
+    BroadcastNestedLoopJoin on the (tiny, bounded) source side — a
+    CartesianProduct here would shuffle the value domain against the
+    sources and break the whole-catalog zero-cartesian gate as the
+    length domain grows (VERDICT r7 item 8)."""
+    plan = (
+        QUERIES["wasserstein_source_pairs"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_wasserstein_shift_fixture(spark, tmp_path):
     """Source B = source A shifted by +5 chars => W1 exactly 5."""
     rows = []
