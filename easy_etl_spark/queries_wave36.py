@@ -552,7 +552,9 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY day
     )
     SELECT d.day, d.rev_cents,
-           round(num * 1.0 / den, 4) + 0.0 AS ewma_cents
+           ((num // den) * 10000
+            + ((num % den) * 20000 + den) // (2 * den)) / 10000.0
+             AS ewma_cents
     FROM daily d JOIN agg USING (day)
     ORDER BY d.day LIMIT 100
     """,
@@ -601,7 +603,20 @@ def ewma_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             "rev_cents",
-            (F.round(F.col("num") / F.col("den"), 4) + F.lit(0.0)).alias("ewma_cents"),
+            # round-half-up at 4 decimals in INTEGER space via the
+            # quotient/remainder split (num*20000 would overflow int64
+            # at larger rungs; the remainder is < den <= 2^20 so its
+            # scaled rounding term never does), then one exact
+            # integer-to-double division — round(double, 4) at 14+
+            # significant digits is engine-divergent at representability
+            # knife edges (caught by the round-8 sf1 sweep)
+            (
+                F.expr(
+                    "(num div den) * 10000"
+                    " + ((num % den) * 20000 + den) div (2 * den)"
+                )
+                / 10000.0
+            ).alias("ewma_cents"),
         )
         .orderBy("day")
         .limit(100)

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from .operators import dedup
 from .operators.dedup import array_shingles
 from .queries import register
-from .session import load_table
+from .session import load_table, track_cache
 
 # ----------------------------------------------------------------------
 # Cross-source duplication matrix
@@ -310,6 +310,57 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOILERPLATE_TOP = 20
 
 
+def _exact_top_df_trigrams(sh: DataFrame, k: int) -> DataFrame:
+    """Top-k trigrams by exact document frequency (ties: lexical),
+    candidate-pruned — see boilerplate_trigrams docstring for the
+    soundness argument. ``sh`` should be cached by the caller: the
+    candidate pass, the exact-df pass, and the caller's hit join all
+    re-read it. Returns a k-row LITERAL frame with column ``s`` (the
+    winners are bounded metadata — k strings — so materializing them
+    driver-side lets the caller's final action skip re-running both
+    aggregation passes)."""
+    spark = sh.sparkSession
+    hashed = sh.withColumn("__h", F.xxhash64("s"))
+    cnts = hashed.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    p = 512
+    while True:
+        cand_rows = (
+            cnts.orderBy(F.col("__cnt").desc(), "__h").limit(p).collect()
+        )  # bounded: p rows of (hash, count)
+        vocab_covered = len(cand_rows) < p
+        if not cand_rows:
+            return spark.createDataFrame([], "s string")
+        cand_hashes = spark.createDataFrame(
+            [(r["__h"],) for r in cand_rows], "__h long"
+        )
+        top_rows = (
+            hashed.join(F.broadcast(cand_hashes), "__h")
+            .groupBy("s")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .orderBy(F.col("df").desc(), "s")
+            .limit(k)
+            .collect()
+        )  # bounded: k rows
+        m = min(r["__cnt"] for r in cand_rows)
+        if (
+            vocab_covered
+            or p > 32768
+            or (len(top_rows) == k and min(r["df"] for r in top_rows) > m)
+        ):
+            if not vocab_covered and p > 32768:
+                # pruning unprovable (flat df plateau at rank k; never
+                # observed on natural corpora): exact full-vocab pass
+                top_rows = (
+                    sh.groupBy("s")
+                    .agg(F.count_distinct("doc_id").alias("df"))
+                    .orderBy(F.col("df").desc(), "s")
+                    .limit(k)
+                    .collect()
+                )
+            return spark.createDataFrame([(r["s"],) for r in top_rows], "s string")
+        p *= 4
+
+
 @register(
     "boilerplate_trigrams",
     f"""
@@ -344,25 +395,42 @@ def boilerplate_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one — the per-feed nav-bar/banner contamination signal
     curation uses to decide where line-level stripping is needed.
 
-    Scale: trigram document frequency is one explode + groupBy (the
-    same shingle shuffle every dedup family pays); the top-20 cut is
-    a TakeOrderedAndProject (distributed partial top-k, NOT a global
-    sort); the hit test joins the shingle stream against the 20-row
-    broadcast. Nothing driver-side, nothing quadratic."""
+    Scale (round 8, VERDICT r7 item 4): the document-frequency pass was
+    the biggest absolute wall of the wave-42 additions (14.5 s sf1 /
+    44.7 s sf2.5) because ``count_distinct(doc_id) GROUP BY s`` shuffles
+    every (trigram-string, doc_id) pair twice. The df computation is now
+    CANDIDATE-PRUNED and still exact:
+
+      1. occurrence counts by ``xxhash64(s)`` — partial-aggregated
+         map-side, 8-byte shuffle keys instead of trigram strings;
+      2. top-P candidate hashes by count (TakeOrdered, P starts at 512);
+      3. exact df only for candidate-hash rows (broadcast semi-join,
+         then the count_distinct shuffle touches candidates only);
+      4. soundness gate: any non-candidate s has df(s) <= cnt(s) <= m
+         (m = min candidate count; hash collisions only RAISE cnt_h, so
+         the bound survives them) — accept iff the 20th candidate df
+         beats m, else escalate P x4; if the whole vocab fits in P the
+         prune is vacuously exact. Unprovable after escalation (never
+         observed; needs a near-uniform df plateau at rank 20) falls
+         back to the original full plan.
+
+    The gate's driver-side cost is bounded metadata (a 20-row collect
+    per attempt); the hit test joins the shingle stream against the
+    20-row broadcast as before. Nothing data-sized on the driver,
+    nothing quadratic."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.split(F.trim("text"), " ").alias("__t")
     )
-    sh = toks.select(
-        "doc_id", "source", F.explode(array_shingles(F.col("__t"), 3)).alias("s")
+    # the shingle stream feeds three passes (candidate counts, exact
+    # candidate df, hit join) — cache it so the explode runs once; a
+    # performance cache only (released by release_caches, recompute-safe)
+    sh = track_cache(
+        toks.select(
+            "doc_id", "source", F.explode(array_shingles(F.col("__t"), 3)).alias("s")
+        )
     )
-    top = (
-        sh.groupBy("s")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .orderBy(F.col("df").desc(), "s")
-        .limit(BOILERPLATE_TOP)
-        .select("s")
-    )
+    top = _exact_top_df_trigrams(sh, BOILERPLATE_TOP)
     hit = sh.join(F.broadcast(top), "s").select("doc_id", "source").distinct()
     per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return (

@@ -169,7 +169,8 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cell
     )
     SELECT cohort_year, month_offset, n_orders,
-           round(cum_cents / 100.0 / n_cust, 4) AS ltv_per_customer
+           CAST((cum_cents * 200 + n_cust) // (2 * n_cust) AS BIGINT)
+             / 10000.0 AS ltv_per_customer
     FROM cum JOIN coh USING (cohort_year)
     """,
 )
@@ -217,9 +218,14 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_year",
         "month_offset",
         "n_orders",
-        F.round(F.col("cum_cents") / 100.0 / F.col("n_cust"), 4).alias(
-            "ltv_per_customer"
-        ),
+        # round-half-up at 4 decimals computed in INTEGER space, then
+        # one exact-integer-to-double division: round(double, 4) on a
+        # 13-significant-digit quotient is a representability knife
+        # edge across engines (caught by the round-8 sf1 sweep: one
+        # row differed in the last ulp)
+        (
+            F.expr("(cum_cents * 200 + n_cust) div (2 * n_cust)") / 10000.0
+        ).alias("ltv_per_customer"),
     )
 
 

@@ -40,11 +40,20 @@ TRIPLE_TOP = 50
     WITH items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    triples AS (
-      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c
+    pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
       FROM items a
       JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      JOIN items c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+    ),
+    triples AS (
+      -- each join step carries its own equi-key: the original 3-way
+      -- form joined c on a.l_orderkey while filtering on b.l_partkey,
+      -- which lets a cost model pick the (b x c) inequality pair first
+      -- and degrade to an O(n^2) interval join (observed: DuckDB wedged
+      -- 30 cores for 35+ min at sf1; this form runs in ~1 s)
+      SELECT p.part_a, p.part_b, c.l_partkey AS part_c
+      FROM pairs p
+      JOIN items c ON p.l_orderkey = c.l_orderkey AND p.part_b < c.l_partkey
     )
     SELECT part_a, part_b, part_c, count(*) AS n_orders
     FROM triples GROUP BY 1, 2, 3

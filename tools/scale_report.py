@@ -7,6 +7,12 @@ past the data ratio has a super-linear stage (all-pairs join, driver
 collect, single-partition funnel) and is a 100 TB bug regardless of
 its absolute sf0.1 time.
 
+Session isolation (round 8, matching bench.py): each rung runs in its
+OWN subprocess with a fresh JVM — round 7's single-session sweep let
+accumulated GC/shuffle pressure from earlier rungs inflate later-rung
+walls 3-8x on heavy queries, so rung-over-rung ratios measured JVM
+fatigue, not operators.
+
 Usage: python tools/scale_report.py [dir ...]   (default: sf0.01,
 sf0.1 from /root/testdata + the repo's generated testdata_sf1)
 
@@ -19,23 +25,61 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from bench import HEADLINE, HEADLINE_V2, _prime_ivf  # noqa: E402
-from easy_etl_spark.session import get_spark, release_caches  # noqa: E402
 
 DEFAULT_DIRS = [
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1"),
+    os.path.join(REPO, "testdata_sf1"),
 ]
+
+NAMES = HEADLINE + HEADLINE_V2
+
+
+def run_rung(d: str) -> dict[str, float | None]:
+    """Fresh-session timing of every query at one rung dir."""
+    from easy_etl_spark.queries import QUERIES
+    from easy_etl_spark.session import get_spark, release_caches
+
+    spark = get_spark("easy-etl-spark-scale-report")
+    warm = "/root/testdata/sf0.001"
+    warm = warm if os.path.isdir(warm) else d
+    for name in NAMES:
+        try:
+            QUERIES[name](spark, warm).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
+    release_caches()
+    _prime_ivf(spark, d)
+
+    out: dict[str, float | None] = {}
+    for name in NAMES:
+        # one query failing at one rung (OOM at the largest SF, a
+        # missing optional table) must not discard every timing
+        # already collected — record None and keep sweeping
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](spark, d).write.mode("overwrite").format("noop").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"FAIL {name} @ {d}: {e}", file=sys.stderr)
+            out[name] = None
+        release_caches()
+    return out
 
 
 def main() -> None:
-    from easy_etl_spark.queries import QUERIES
+    if "--rung" in sys.argv:
+        d = sys.argv[sys.argv.index("--rung") + 1]
+        print(json.dumps(run_rung(d)))
+        return
 
     dirs = [d for d in (sys.argv[1:] or DEFAULT_DIRS) if os.path.isdir(d)]
     if not dirs:
@@ -43,32 +87,23 @@ def main() -> None:
             "scale_report: no rung directory exists — pass parquet dirs as "
             "arguments or generate one with tools/gen_sf.py"
         )
-    names = HEADLINE + HEADLINE_V2
-    spark = get_spark("easy-etl-spark-scale-report")
-
-    # warmup (codegen/JVM/python-worker priming) at the smallest rung
-    for name in names:
-        try:
-            QUERIES[name](spark, dirs[0]).write.mode("overwrite").format("noop").save()
-        except Exception:
-            pass
-    release_caches()
-
-    rows: dict[str, list] = {n: [] for n in names}
+    rows: dict[str, list] = {n: [] for n in NAMES}
     for d in dirs:
-        _prime_ivf(spark, d)
-        for name in names:
-            # one query failing at one rung (OOM at the largest SF, a
-            # missing optional table) must not discard every timing
-            # already collected — record None and keep sweeping
-            t0 = time.perf_counter()
-            try:
-                QUERIES[name](spark, d).write.mode("overwrite").format("noop").save()
-                rows[name].append(round(time.perf_counter() - t0, 3))
-            except Exception as e:
-                print(f"FAIL {name} @ {d}: {e}", file=sys.stderr)
-                rows[name].append(None)
-            release_caches()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rung", d],
+            capture_output=True,
+            text=True,
+            timeout=7200,
+        )
+        sys.stderr.write(proc.stderr[-2000:] if proc.returncode else "")
+        line = ""
+        for cand in reversed(proc.stdout.strip().splitlines()):
+            if cand.strip().startswith("{"):
+                line = cand.strip()
+                break
+        rung = json.loads(line) if line else {}
+        for n in NAMES:
+            rows[n].append(rung.get(n))
 
     ratios = {
         n: [
