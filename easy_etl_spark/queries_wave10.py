@@ -22,20 +22,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _basket_pairs_per_order(li: DataFrame) -> DataFrame:
+    """One row per (order, part pair a < b) co-appearing in that order,
+    via IN-ROW pair expansion of each order's sorted distinct-part
+    array (the same shape as frequent_part_triples' level-3 expansion)
+    instead of an items self-join — one map-side-combinable basket
+    shuffle + explode replaces two scans plus an order-keyed join,
+    halving shuffle volume; output verified bit-identical to the join
+    form, ~30% faster at sf1 (BASELINE.md round 8). Support counters
+    (frequent_part_pairs, association_rules) aggregate this directly;
+    graph builders go through _basket_pair_edges/_copurchase_edges."""
+    baskets = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    return baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y ->"
+                "  struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+
+
+def _basket_pair_edges(li: DataFrame) -> DataFrame:
+    """Distinct (a < b) part pairs co-appearing in at least one order
+    (see _basket_pairs_per_order)."""
+    return _basket_pairs_per_order(li).distinct()
+
+
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Undirected co-purchase edges (both directions) between parts
-    appearing in the same order."""
-    base = li.select("l_orderkey", "l_partkey")
-    l1, l2 = base.alias("l1"), base.alias("l2")
-    pairs = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-        )
-        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
-        .distinct()
-    )
+    appearing in the same order (see _basket_pair_edges)."""
+    pairs = _basket_pair_edges(li)
     return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

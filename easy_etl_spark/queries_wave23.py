@@ -72,16 +72,16 @@ def item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank window — the same swap priority_sample got: a global-window
     # row_number here would funnel every part through one task
     anchors = pop.orderBy(F.col("n").desc(), "p").limit(20).select("p", "n")
-    a, b = li.alias("a"), li.alias("b")
+    # co-occurrence counts from the in-row basket expansion (one row
+    # per order-pair, both orientations via the swapped union) instead
+    # of an items self-join — see queries_wave10._basket_pairs_per_order
+    from .queries_wave10 import _basket_pairs_per_order
+
+    up = _basket_pairs_per_order(li)
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        up.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+        .unionAll(up.select(F.col("b").alias("pa"), F.col("a").alias("pb")))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("nab"))
     )
     an = anchors.select(F.col("p").alias("pa"), F.col("n").alias("na"))

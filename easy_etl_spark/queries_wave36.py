@@ -669,8 +669,19 @@ def kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     (convergence = zero changed values, like dedup_clusters).
 
     Scale: each round is one edge-keyed join (shuffle by node id) +
-    one per-node window — the Pregel-on-relational layout shared with
-    pagerank/bfs; the edge list is persisted across rounds."""
+    one per-node aggregate — the Pregel-on-relational layout shared
+    with pagerank/bfs; the edge list is persisted across rounds.
+
+    Round-8 rewrite: the per-round H-index no longer sorts an
+    edge-sized frame. H over a neighbor-value multiset equals
+    ``max over distinct values v of min(v, n_ge(v))`` where ``n_ge`` is
+    the count of neighbors with value >= v (checking only the distinct
+    values suffices: for any integer h between values, min(h, n_ge(h))
+    is dominated by the next value up). So each round aggregates to
+    (src, value, count) first — map-side combinable, output bounded by
+    distinct values per node, not degree — and runs the descending
+    cumulative count window over THAT frame; the oracle's unrolled
+    row_number formulation is value-identical by the argument above."""
     from pyspark.sql import Window as W
 
     from .queries_wave10 import _copurchase_edges
@@ -680,13 +691,18 @@ def kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         c = edges.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("c"))
         for _ in range(3):
-            w = W.partitionBy("src").orderBy(F.desc("c"))
+            w = (
+                W.partitionBy("src")
+                .orderBy(F.desc("c"))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
             c = (
                 edges.join(c, edges["dst"] == c["v"])
-                .select("src", "c")
-                .withColumn("rn", F.row_number().over(w))
+                .groupBy("src", "c")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("n_ge", F.sum("n").over(w))
                 .groupBy(F.col("src").alias("v"))
-                .agg(F.max(F.least(F.col("rn"), F.col("c"))).alias("c"))
+                .agg(F.max(F.least(F.col("c"), F.col("n_ge"))).alias("c"))
                 .localCheckpoint()
             )
     finally:

@@ -274,25 +274,18 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each undirected edge contributing both orientations via the
     symmetric sums). r > 0 means hub parts co-sell with hubs.
 
-    Scale: edge generation is the basket-keyed pair expansion (cost
-    Σ basket², never corpus²); degrees are one groupBy over both edge
-    directions; the degree lookup joins are node-keyed with NO
-    broadcast hint on the array-free narrow table (AQE sizes it
-    accurately — contrast triangle_count's nested-array adjacency,
-    which is hinted). All sums exact int64; r is a single guarded
-    float expression."""
+    Scale: edge generation is the in-row basket pair expansion
+    (queries_wave10._basket_pair_edges — cost Σ basket², never
+    corpus², one basket shuffle instead of a self-join); degrees are
+    one groupBy over both edge directions; the degree lookup joins are
+    node-keyed with NO broadcast hint on the array-free narrow table
+    (AQE sizes it accurately — contrast triangle_count's nested-array
+    adjacency, which is hinted). All sums exact int64; r is a single
+    guarded float expression."""
+    from .queries_wave10 import _basket_pair_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
-        .distinct()
-    )
+    edges = _basket_pair_edges(li.select("l_orderkey", "l_partkey"))
     nodes = edges.select(F.col("a").alias("v")).unionAll(
         edges.select(F.col("b").alias("v"))
     )

@@ -841,19 +841,19 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence mining: part pairs appearing
-    together in ≥2 orders, ranked by support. The self-join is keyed on
-    the basket id, so cost is Σ basket² (baskets are tiny — ≤7 items in
-    TPC-H-shaped data), never corpus²; support counting is one pair-
-    keyed aggregate — the first pass of any FP-growth-style miner."""
+    together in ≥2 orders, ranked by support. Pairs come from the
+    in-row expansion of each order's sorted distinct-part array
+    (queries_wave10._basket_pairs_per_order) — cost Σ basket² (baskets
+    are tiny — ≤7 items in TPC-H-shaped data), never corpus², one
+    basket shuffle instead of a self-join; support counting is one
+    pair-keyed aggregate — the first pass of any FP-growth-style
+    miner."""
+    from .queries_wave10 import _basket_pairs_per_order
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    pairs = _basket_pairs_per_order(li.select("l_orderkey", "l_partkey")).select(
+        F.col("a").alias("part_a"), F.col("b").alias("part_b")
+    )
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -896,18 +896,17 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs are exact integer supports; each output is one double
     division — deterministic on any engine. The two support joins
     broadcast (item supports are part-dimension-sized)."""
+    from .queries_wave10 import _basket_pairs_per_order
+
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = items.select("l_orderkey").distinct().count()
     item_s = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    a, b = items.alias("a"), items.alias("b")
+    # pair supports from the in-row basket expansion (one row per
+    # order-pair), not an items self-join — see _basket_pairs_per_order
     pair_s = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        _basket_pairs_per_order(li.select("l_orderkey", "l_partkey"))
+        .groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("s_ab"))
         .filter(F.col("s_ab") >= 3)
     )
