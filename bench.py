@@ -248,13 +248,24 @@ def run_section(names: list[str], sf_dir: str) -> dict[str, float]:
 def _spawn(section: str, sf_dir: str) -> dict:
     """Run one section in a fresh subprocess (fresh JVM); parse its
     single stdout JSON line."""
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--section", section,
-         "--sf-dir", sf_dir],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", section,
+             "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired as e:
+        # one hung section must not abort the bench and lose the
+        # sections already collected
+        return {
+            "section": section,
+            "error": "timeout=3600",
+            "stderr_tail": (e.stderr or b"")[-2000:].decode("utf-8", "replace")
+            if isinstance(e.stderr, bytes) else (e.stderr or "")[-2000:],
+            "queries": {},
+        }
     line = ""
     for cand in reversed(proc.stdout.strip().splitlines()):
         cand = cand.strip()
@@ -317,6 +328,8 @@ def main() -> None:
         "queries": v1.get("queries", {}),
         "sf": sf,
     }
+    if "error" in v1:
+        compact["error_v1"] = v1["error"]
     for section in ("v2", "v3", "v4", "v5", "v6"):
         r = results.get(section, {})
         compact[f"value_{section}"] = r.get("total")

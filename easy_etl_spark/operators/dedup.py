@@ -441,6 +441,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    max_pairs: float | None = None,
 ) -> DataFrame:
     """Exact pairwise cosine near-dup over embeddings as a DISTRIBUTED
     block-matrix similarity join: each vector fans out to its
@@ -477,22 +478,60 @@ def embedding_dup_pairs(
     still grows linearly with the corpus. When stats are unusable
     (non-file lineage reporting the 8 EiB default), fall back to one
     cheap 1-column count job.
+
+    ``max_pairs`` (default env ``SPARK_GRAFT_EXACT_COSINE_MAX_PAIRS``,
+    1e11) is the blast-radius guard: exact all-pairs is the VERIFIER,
+    and this budget makes sure it cannot be pointed at a full corpus by
+    accident — estimated n(n-1)/2 above the budget raises immediately
+    (plan-build time, before any job) with the bucketed scale paths
+    named. The estimate divides the same lazy plan-stats byte figure by
+    a deliberately LOW 128 bytes/vector (measured parquet rows run
+    170–1000+ B), so it over-counts vectors and fires early — the safe
+    direction for an O(n²) refusal. 1e11 pairs ≈ 450k vectors ≈ hours
+    of single-node matmul: every test rung passes with >40× headroom
+    (sf2.5 = 50k vectors ≈ 2.2e9 estimated pairs) while anything
+    corpus-shaped (1e8+ vectors → 1e15+ pairs) is refused by orders of
+    magnitude. Pass ``max_pairs=float("inf")`` to opt out explicitly.
     """
     import math
+    import os
 
     import numpy as np
 
+    try:
+        # py4j maps the scala BigInt to a plain int; str() also
+        # covers JavaObject-shaped returns on other Spark builds
+        size = int(str(emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if size <= 0 or size > (1 << 50):
+            size = None
+    except Exception:
+        size = None
+    exact_n = emb.select(id_col).count() if size is None else None
+
+    if max_pairs is None:
+        max_pairs = float(
+            os.environ.get("SPARK_GRAFT_EXACT_COSINE_MAX_PAIRS", "1e11")
+        )
+    est_n = float(exact_n) if exact_n is not None else size / 128.0
+    est_pairs = est_n * max(est_n - 1.0, 0.0) / 2.0
+    if est_pairs > max_pairs:
+        raise ValueError(
+            f"embedding_dup_pairs: estimated {est_pairs:.3g} candidate pairs "
+            f"(~{est_n:.3g} vectors) exceeds the exact-verifier budget "
+            f"max_pairs={max_pairs:.3g}. This operator is O(n^2) by contract "
+            "— run it only on candidate subsets. Scale paths: "
+            "similarity.semantic_dedup (IVF-cell-bucketed), "
+            "dedup.minhash_lsh_dup_pairs / lsh_bucketed_neighbors "
+            "(banded equi-joins), then verify ONLY those candidates here. "
+            "Raise SPARK_GRAFT_EXACT_COSINE_MAX_PAIRS or pass "
+            "max_pairs=float('inf') to override deliberately."
+        )
+
     if n_blocks is None:
         block_bytes = 8 << 20
-        try:
-            # py4j maps the scala BigInt to a plain int; str() also
-            # covers JavaObject-shaped returns on other Spark builds
-            size = int(str(emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        except Exception:
-            size = None
         parallelism = emb.sparkSession.sparkContext.defaultParallelism
-        if size is None or size <= 0 or size > (1 << 50):
-            n_blocks = max(1, math.ceil(emb.select(id_col).count() / 4096))
+        if size is None:
+            n_blocks = max(1, math.ceil(exact_n / 4096))
         else:
             # block count serves TWO masters:
             #  - bytes: ≥1 block per ~8 MB of scan so a block pair fits

@@ -82,6 +82,10 @@ def with_surrogate_id(
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     key = (
         "surrogate",
+        # applicationId scopes entries to the live SparkContext: a
+        # stop()/recreate cycle in-process would otherwise serve
+        # localCheckpoint frames that reference a dead context.
+        dim.sparkSession.sparkContext.applicationId,
         tuple(sorted(dim.inputFiles())),
         dim.semanticHash(),
         tuple(cols),

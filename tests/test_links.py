@@ -127,8 +127,6 @@ def test_surrogate_cache_serves_repeat_links(spark, sf_dir):
     """Round-8 fix (VERDICT r7 item 5): keying the same dimension twice
     must hit the module cache — identical frame object, so the second
     link pays neither the localCheckpoint nor the offsets collect."""
-    import os
-
     from pyspark.sql import functions as F
 
     from easy_etl_spark.operators.links import (

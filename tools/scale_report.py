@@ -95,7 +95,16 @@ def main() -> None:
             text=True,
             timeout=7200,
         )
-        sys.stderr.write(proc.stderr[-2000:] if proc.returncode else "")
+        # always forward per-query FAIL diagnostics: a query that dies
+        # inside a rung leaves the subprocess at rc=0 with its cause
+        # only on stderr
+        fails = "\n".join(
+            l for l in proc.stderr.splitlines() if l.startswith("FAIL")
+        )
+        if proc.returncode:
+            sys.stderr.write(proc.stderr[-2000:])
+        elif fails:
+            sys.stderr.write(fails + "\n")
         line = ""
         for cand in reversed(proc.stdout.strip().splitlines()):
             if cand.strip().startswith("{"):
