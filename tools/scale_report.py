@@ -43,24 +43,44 @@ DEFAULT_DIRS = [
 NAMES = HEADLINE + HEADLINE_V2
 
 
-def run_rung(d: str) -> dict[str, float | None]:
+def _parse_names(argv: list[str]) -> list[str]:
+    """--names a,b,c restricts the sweep (family-targeted ladders —
+    e.g. the graph family at rungs too big to sweep everything)."""
+    if "--names" in argv:
+        picked = argv[argv.index("--names") + 1].split(",")
+        unknown = [n for n in picked if n not in NAMES]
+        if unknown:
+            # targeted ladders may name queries outside the headline
+            # sets; resolve against the full registry instead
+            from easy_etl_spark.queries import QUERIES
+
+            missing = [n for n in picked if n not in QUERIES]
+            if missing:
+                sys.exit(f"scale_report: unknown queries {missing}")
+        return picked
+    return NAMES
+
+
+def run_rung(d: str, names: list[str] | None = None) -> dict[str, float | None]:
     """Fresh-session timing of every query at one rung dir."""
     from easy_etl_spark.queries import QUERIES
     from easy_etl_spark.session import get_spark, release_caches
 
+    names = NAMES if names is None else names
     spark = get_spark("easy-etl-spark-scale-report")
     warm = "/root/testdata/sf0.001"
     warm = warm if os.path.isdir(warm) else d
-    for name in NAMES:
+    for name in names:
         try:
             QUERIES[name](spark, warm).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
     release_caches()
-    _prime_ivf(spark, d)
+    if any(n.startswith("knn_ivf") for n in names):
+        _prime_ivf(spark, d)
 
     out: dict[str, float | None] = {}
-    for name in NAMES:
+    for name in names:
         # one query failing at one rung (OOM at the largest SF, a
         # missing optional table) must not discard every timing
         # already collected — record None and keep sweeping
@@ -76,21 +96,29 @@ def run_rung(d: str) -> dict[str, float | None]:
 
 
 def main() -> None:
+    names = _parse_names(sys.argv)
     if "--rung" in sys.argv:
         d = sys.argv[sys.argv.index("--rung") + 1]
-        print(json.dumps(run_rung(d)))
+        print(json.dumps(run_rung(d, names)))
         return
 
-    dirs = [d for d in (sys.argv[1:] or DEFAULT_DIRS) if os.path.isdir(d)]
+    args = list(sys.argv[1:])
+    if "--names" in args:
+        i = args.index("--names")
+        del args[i : i + 2]
+    dirs = [d for d in (args or DEFAULT_DIRS) if os.path.isdir(d)]
     if not dirs:
         sys.exit(
             "scale_report: no rung directory exists — pass parquet dirs as "
             "arguments or generate one with tools/gen_sf.py"
         )
-    rows: dict[str, list] = {n: [] for n in NAMES}
+    rows: dict[str, list] = {n: [] for n in names}
     for d in dirs:
+        cmd = [sys.executable, os.path.abspath(__file__), "--rung", d]
+        if names is not NAMES:
+            cmd += ["--names", ",".join(names)]
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--rung", d],
+            cmd,
             capture_output=True,
             text=True,
             timeout=7200,
@@ -111,7 +139,7 @@ def main() -> None:
                 line = cand.strip()
                 break
         rung = json.loads(line) if line else {}
-        for n in NAMES:
+        for n in names:
             rows[n].append(rung.get(n))
 
     ratios = {
