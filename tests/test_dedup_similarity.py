@@ -43,7 +43,7 @@ def test_ngram_jaccard_finds_near_dups(spark, docs_small):
 def test_minhash_lsh_matches_exact_on_real_docs(spark, sf_dir):
     """LSH candidates verified with exact jaccard must equal the
     brute-force jaccard pairs at the same threshold (banding at
-    b=8,r=4 has ~100% recall at j≥0.7)."""
+    b=16,r=3 has ≥0.9988 per-pair recall at j≥0.7)."""
     docs = load_table(spark, sf_dir, "documents")
     exact = {(r["id_a"], r["id_b"]) for r in
              dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect()}

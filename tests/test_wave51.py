@@ -11,23 +11,24 @@ from easy_etl_spark.queries import QUERIES
 
 def test_lsh_plan_scurve_properties(spark, sf_dir):
     rows = QUERIES["lsh_parameter_plan"](spark, sf_dir).collect()
-    assert len(rows) == 5 * 9
+    assert len(rows) == 6 * 9
     by_layout: dict[int, list] = {}
     for r in rows:
-        assert r.rows_per_band * r.n_bands == 128
+        assert r.rows_per_band * r.n_bands == 48
         assert 0.0 <= r.p_candidate <= 1.0
         by_layout.setdefault(r.rows_per_band, []).append(r)
     for rpb, cells in by_layout.items():
         cells.sort(key=lambda c: c.jaccard)
         ps = [c.p_candidate for c in cells]
         assert all(a <= b + 1e-9 for a, b in zip(ps, ps[1:])), rpb
-    # the production layout (r=4, b=32): candidate-rich by t=0.7,
-    # steeper than r=1 at low similarity (r=1 fires on everything)
-    p4 = {c.jaccard: c.p_candidate for c in by_layout[4]}
+    # the production layout (r=3, b=16): near-certain candidate by the
+    # 0.7 verification threshold, steeper than r=1 at low similarity
+    # (r=1 fires on everything)
+    p3 = {c.jaccard: c.p_candidate for c in by_layout[3]}
     p1 = {c.jaccard: c.p_candidate for c in by_layout[1]}
-    assert p4[0.7] > 0.999
+    assert p3[0.7] > 0.998
     assert p1[0.1] > 0.99  # r=1 collapses the filter — why it's not used
-    assert p4[0.1] < 0.3
+    assert p3[0.1] < 0.05
 
 
 def test_referential_integrity_clean_and_broken(spark, sf_dir, tmp_path):
