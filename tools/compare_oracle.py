@@ -12,7 +12,9 @@ Usage: python tools/compare_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -57,6 +59,11 @@ def main():
     register_views(spark, sf_dir)
 
     con = duckdb.connect()
+    # per-process spill dir: concurrent sweep streams sharing the
+    # cwd-relative default (".tmp/duckdb_temp_storage-*") corrupt each
+    # other's spill files once an oracle is big enough to spill
+    tmp = tempfile.mkdtemp(prefix="duckdb_oracle_")
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
 
@@ -108,6 +115,7 @@ def main():
         else:
             failures.append(name)
     print("\n==", "ALL OK" if not failures else f"FAILURES: {failures}")
+    shutil.rmtree(tmp, ignore_errors=True)
     return 1 if failures else 0
 
 
