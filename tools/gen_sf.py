@@ -26,8 +26,14 @@ Scaling recipe (factor K, default 10 => sf1):
 * embeddings: copy i multiplies every vector by a copy-specific
   deterministic Rademacher (+-1) sign pattern. Within a copy all inner
   products are preserved EXACTLY (both sides flip the same signs);
-  across copies expected cosine ~ 0 — again: K disjoint replicas of
-  the sf0.1 similarity structure.
+  across copies expected cosine is 0 with std ≈ 1/sqrt(dim) (0.125 at
+  dim=64) — so unlike documents (whose shingle spaces are EXACTLY
+  disjoint), cross-copy near-dup pairs DO exist at thresholds within
+  a few sigma of 0: measured at sf2.5 / threshold 0.45 (3.6 sigma),
+  116,508 true pairs vs 3,600 within-copy ones. Oracle checks on the
+  scaled embeddings must therefore compare against a full all-pairs
+  ground truth (numpy blockwise works where DuckDB times out), NOT
+  against K x the base-rung result.
 
 Determinism: pure numpy/pyarrow with fixed seeds — same bytes on every
 run. Usage:  python tools/gen_sf.py [K] [src_dir] [dst_dir]
