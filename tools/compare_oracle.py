@@ -12,6 +12,7 @@ Usage: python tools/compare_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import shutil
 import sys
 import tempfile
@@ -61,8 +62,12 @@ def main():
     con = duckdb.connect()
     # per-process spill dir: concurrent sweep streams sharing the
     # cwd-relative default (".tmp/duckdb_temp_storage-*") corrupt each
-    # other's spill files once an oracle is big enough to spill
-    tmp = tempfile.mkdtemp(prefix="duckdb_oracle_")
+    # other's spill files once an oracle is big enough to spill.
+    # SPARK_GRAFT_ORACLE_TMP lets an orchestrator own the dir so it can
+    # reap it even when this process is SIGKILLed mid-spill (a timed-out
+    # sf2.5 corpus replay leaks ~30 GB otherwise).
+    tmp = os.environ.get("SPARK_GRAFT_ORACLE_TMP") or tempfile.mkdtemp(prefix="duckdb_oracle_")
+    os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")

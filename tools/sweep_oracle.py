@@ -38,8 +38,10 @@ import json
 import os
 import queue
 import re
+import shutil
 import subprocess
 import sys
+import tempfile
 import threading
 import time
 
@@ -90,7 +92,10 @@ def parse_chunk_output(text: str) -> dict[str, tuple[str, str]]:
 
 def run_chunk(sf_dir: str, names: list[str], timeout: int, cpus: int) -> tuple[dict, list[str], str]:
     """Run one compare_oracle subprocess; return (results, unresolved, err)."""
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # orchestrator-owned spill dir: a SIGKILLed chunk (timeout) cannot
+    # clean up after itself, and a leaked sf2.5 spill is ~30 GB
+    spill = tempfile.mkdtemp(prefix="sweep_spill_")
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_ORACLE_TMP=spill)
     cmd = [sys.executable, os.path.join(REPO, "tools", "compare_oracle.py"), sf_dir, *names]
     t0 = time.time()
     try:
@@ -101,6 +106,8 @@ def run_chunk(sf_dir: str, names: list[str], timeout: int, cpus: int) -> tuple[d
     except subprocess.TimeoutExpired as e:
         text = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
         err = f"chunk timeout after {timeout}s"
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
     parsed = parse_chunk_output(text)
     results = {
         n: {"status": st, "detail": d, "secs": round(time.time() - t0, 1)}
