@@ -537,61 +537,84 @@ def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PURE range join — interval overlap with NO equi key — made
-    scalable by TIME BINNING: per user-day activity span, count the
-    error incidents (30-minute windows from ANY user) overlapping it.
+    """PURE range join — interval overlap with NO equi key: per
+    user-day activity span, count the error incidents (30-minute
+    windows from ANY user) overlapping it.
 
-    A naive no-equi-key range join is a broadcast nested loop (O(n*m)
-    compares) or, worse, a cartesian; the binned rewrite explodes both
-    interval sets onto a fixed 1-hour bucket grid (spans cover <= 24
-    bins, incidents <= 2), equi-joins on the bin, dedups the (span,
-    incident) candidates, and verifies the exact overlap predicate on
-    candidates only — the Databricks range-join-hint technique as an
-    explicit plan. Work scales with overlap density, not |spans| x
-    |incidents|; the oracle runs the plain quadratic range join, so
-    the rewrite must lose or invent nothing, including
-    zero-incident spans (left semantics via scaffold re-join)."""
+    Through round 8 this ran the Databricks range-join-hint shape
+    (explode both interval sets onto an hour grid, equi-join the bin,
+    dedup candidates, verify exactly). The round-9 full sf2.5 sweep
+    killed that plan: incidents are GLOBAL (no user key), so the
+    candidate pair set grows ~K^2 in the scale factor — ~6e9 pairs at
+    sf2.5 — and the dedup shuffle OOMs the heap. Binning only helps
+    when overlap density is bounded; here the semantics themselves are
+    dense.
+
+    The fix computes every span's count WITHOUT enumerating pairs.
+    Incident windows all have the same width, so i_start < i_end and
+
+        n(span) = #{i : i_start < s_end  AND  i_end > s_start}
+                = #{i : i_start < s_end} - #{i : i_end <= s_start}
+
+    (the subtracted set is a subset of the first: i_end <= s_start
+    implies i_start < i_end <= s_start <= s_end). Each term is a CDF
+    lookup of a span endpoint against the global multiset of incident
+    endpoints — done by unioning probe rows into the per-timestamp
+    count frame and taking a banded exclusive prefix sum
+    (packing.global_running_offset — fourth consumer; no
+    single-partition window). Strict vs inclusive comparison is an
+    ordering tiebreak: probes sort BEFORE same-timestamp counts for
+    `<`, AFTER them for `<=`. Work is O(|spans| + |incidents|) —
+    independent of overlap density — all shuffles keyed or
+    range-partitioned, driver traffic bounded to per-partition
+    offsets. Zero-incident spans fall out as 0 - 0 (no scaffold
+    re-join needed)."""
     e = load_table(spark, sf_dir, "events")
     spans = e.groupBy(
         "user_id", F.col("ts").cast("date").cast("string").alias("day")
     ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
-    incidents = e.filter(F.col("event_type") == "error").select(
-        "event_id",
-        F.col("ts").alias("i_start"),
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("i_end"),
+    inc = e.filter(F.col("event_type") == "error").select(
+        F.unix_micros("ts").alias("start_us"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_us"),
     )
-    hour = 3600
 
-    def bins(lo, hi):
-        return F.sequence(
-            F.floor(F.unix_timestamp(lo) / hour).cast("long"),
-            F.floor(F.unix_timestamp(hi) / hour).cast("long"),
+    def cdf_counts(points: DataFrame, probes: DataFrame, probe_first: bool, out: str) -> DataFrame:
+        """For each probe (user_id, day, ts_us): running count of
+        points with ts_us < probe (probe_first) or <= probe."""
+        pt = points.groupBy("ts_us").agg(F.count(F.lit(1)).alias("c"))
+        pt = pt.select(
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("string").alias("day"),
+            (F.col("ts_us") * 2 + (1 if probe_first else 0)).alias("ord"),
+            F.col("c").cast("long").alias("c"),
         )
+        pr = probes.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "day",
+            (F.col("ts_us") * 2 + (0 if probe_first else 1)).alias("ord"),
+            F.lit(0).cast("long").alias("c"),
+        )
+        cum = global_running_offset(pr.unionByName(pt), "c", "ord", out_col=out)
+        return cum.filter(F.col("user_id").isNotNull()).select("user_id", "day", out)
 
-    s_b = spans.withColumn("bin", F.explode(bins(F.col("s_start"), F.col("s_end"))))
-    i_b = incidents.withColumn(
-        "bin", F.explode(bins(F.col("i_start"), F.col("i_end")))
+    c_lt = cdf_counts(  # #{i_start < s_end}
+        inc.select(F.col("start_us").alias("ts_us")),
+        spans.select("user_id", "day", F.unix_micros("s_end").alias("ts_us")),
+        probe_first=True,
+        out="n_lt",
     )
-    cand = (
-        s_b.join(i_b, "bin")
-        .filter(
-            (F.col("s_start") < F.col("i_end"))
-            & (F.col("i_start") < F.col("s_end"))
-        )
-        .select("user_id", "day", "event_id")
-        .distinct()
+    c_le = cdf_counts(  # #{i_end <= s_start}
+        inc.select(F.col("end_us").alias("ts_us")),
+        spans.select("user_id", "day", F.unix_micros("s_start").alias("ts_us")),
+        probe_first=False,
+        out="n_le",
     )
-    hits = cand.groupBy("user_id", "day").agg(
-        F.count(F.lit(1)).alias("n_incidents")
-    )
-    # left semantics: spans with zero overlapping incidents still report
     return (
-        spans.select("user_id", "day")
-        .join(hits, ["user_id", "day"], "left")
+        c_lt.join(c_le, ["user_id", "day"])
         .select(
             "user_id",
             "day",
-            F.coalesce("n_incidents", F.lit(0)).cast("bigint").alias("n_incidents"),
+            (F.col("n_lt") - F.col("n_le")).cast("bigint").alias("n_incidents"),
         )
     )
 
