@@ -84,14 +84,18 @@ BRIDGE_Y0, BRIDGE_Y1 = 1996, 1997
     )
     SELECT round(rev0_cents / 100.0, 2) AS revenue_y0,
            round(rev1_cents / 100.0, 2) AS revenue_y1,
-           round(price_u / 1000000.0, 4) AS price_effect,
-           round(vol_u / 1000000.0, 4) AS volume_effect,
-           round(cross_u / 1000000.0, 4) AS cross_effect,
+           CAST(floor(price_u / 100.0 + 0.5) AS BIGINT) / 10000.0
+             AS price_effect,
+           CAST(floor(vol_u / 100.0 + 0.5) AS BIGINT) / 10000.0
+             AS volume_effect,
+           CAST(floor(cross_u / 100.0 + 0.5) AS BIGINT) / 10000.0
+             AS cross_effect,
            round(new_cents / 100.0, 2) AS new_parts,
            round(gone_cents / 100.0, 2) AS discontinued_parts,
-           round(((rev1_cents - rev0_cents) * 10000
-                  - (price_u + vol_u + cross_u
-                     + (new_cents - gone_cents) * 10000)) / 1000000.0, 4)
+           CAST(floor(((rev1_cents - rev0_cents) * 10000
+                       - (price_u + vol_u + cross_u
+                          + (new_cents - gone_cents) * 10000)) / 100.0 + 0.5)
+                AS BIGINT) / 10000.0
              + 0.0 AS residual
     FROM eff
     """,
@@ -164,27 +168,31 @@ def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gone_cents"),
     )
+    def q4(col):
+        # half-up to 1e-4 dollars IN INTEGER SPACE, then one double
+        # division: engine-independent, unlike round(x, 4) on a double
+        # (Spark's BigDecimal half-up vs DuckDB's binary rounding
+        # disagree on exact .5 ties — caught by the sf5 sweep when the
+        # residual landed on -5650e-6, a 4-decimal tie)
+        return F.floor(col / F.lit(100.0) + F.lit(0.5)).cast("bigint") / F.lit(10000.0)
+
     return eff.select(
         F.round(F.col("rev0_cents") / 100.0, 2).alias("revenue_y0"),
         F.round(F.col("rev1_cents") / 100.0, 2).alias("revenue_y1"),
-        F.round(F.col("price_u") / 1000000.0, 4).alias("price_effect"),
-        F.round(F.col("vol_u") / 1000000.0, 4).alias("volume_effect"),
-        F.round(F.col("cross_u") / 1000000.0, 4).alias("cross_effect"),
+        q4(F.col("price_u")).alias("price_effect"),
+        q4(F.col("vol_u")).alias("volume_effect"),
+        q4(F.col("cross_u")).alias("cross_effect"),
         F.round(F.col("new_cents") / 100.0, 2).alias("new_parts"),
         F.round(F.col("gone_cents") / 100.0, 2).alias("discontinued_parts"),
         (
-            F.round(
-                (
-                    (F.col("rev1_cents") - F.col("rev0_cents")) * 10000
-                    - (
-                        F.col("price_u")
-                        + F.col("vol_u")
-                        + F.col("cross_u")
-                        + (F.col("new_cents") - F.col("gone_cents")) * 10000
-                    )
+            q4(
+                (F.col("rev1_cents") - F.col("rev0_cents")) * 10000
+                - (
+                    F.col("price_u")
+                    + F.col("vol_u")
+                    + F.col("cross_u")
+                    + (F.col("new_cents") - F.col("gone_cents")) * 10000
                 )
-                / 1000000.0,
-                4,
             )
             + F.lit(0.0)
         ).alias("residual"),
