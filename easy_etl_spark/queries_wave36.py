@@ -409,9 +409,9 @@ def hll_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY source),
     tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cells)
     SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n_docs,
-           round((CAST(floor(ln(CAST(c.n AS DOUBLE) * n_tot) * 1000000 + 0.5) AS BIGINT)
+           CAST(floor((CAST(floor(ln(CAST(c.n AS DOUBLE) * n_tot) * 1000000 + 0.5) AS BIGINT)
                 - CAST(floor(ln(CAST(nl AS DOUBLE) * ns) * 1000000 + 0.5) AS BIGINT))
-                 / 1000000.0, 4) + 0.0 AS pmi,
+                 / 100.0 + 0.5) AS BIGINT) / 10000.0 + 0.0 AS pmi,
            c.n * (CAST(floor(ln(CAST(c.n AS DOUBLE) * n_tot) * 1000000 + 0.5) AS BIGINT)
                 - CAST(floor(ln(CAST(nl AS DOUBLE) * ns) * 1000000 + 0.5) AS BIGINT))
              AS mi_contrib_units
@@ -450,7 +450,13 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
             "lang",
             "source",
             F.col("n").cast("bigint").alias("n_docs"),
-            (F.round(units / 1e6, 4) + F.lit(0.0)).alias("pmi"),
+            # integer-space half-up to 1e-4 (engine-independent; round()
+            # on a double diverges between engines at exact .5 ties)
+            (
+                F.floor(units / F.lit(100.0) + F.lit(0.5)).cast("bigint")
+                / F.lit(10000.0)
+                + F.lit(0.0)
+            ).alias("pmi"),
             (F.col("n") * units).alias("mi_contrib_units"),
         )
     )
@@ -475,10 +481,10 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
              count(*) AS k FROM bins
     )
     SELECT bucket, n_good, n_bad,
-           round((CAST(floor(ln((n_good + 1) * 1.0 / (g_tot + k)) * 1000000 + 0.5)
+           CAST(floor((CAST(floor(ln((n_good + 1) * 1.0 / (g_tot + k)) * 1000000 + 0.5)
                        AS BIGINT)
                 - CAST(floor(ln((n_bad + 1) * 1.0 / (b_tot + k)) * 1000000 + 0.5)
-                       AS BIGINT)) / 1000000.0, 4) + 0.0 AS woe,
+                       AS BIGINT)) / 100.0 + 0.5) AS BIGINT) / 10000.0 + 0.0 AS woe,
            round(((n_good + 1) * 1.0 / (g_tot + k)
                  - (n_bad + 1) * 1.0 / (b_tot + k))
                  * (CAST(floor(ln((n_good + 1) * 1.0 / (g_tot + k)) * 1000000 + 0.5)
@@ -526,7 +532,12 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "n_good",
         "n_bad",
-        (F.round(units / 1e6, 4) + F.lit(0.0)).alias("woe"),
+        # integer-space half-up to 1e-4 (see lang/source pmi note)
+        (
+            F.floor(units / F.lit(100.0) + F.lit(0.5)).cast("bigint")
+            / F.lit(10000.0)
+            + F.lit(0.0)
+        ).alias("woe"),
         (F.round((pg - pb) * units / 1e6, 6) + F.lit(0.0)).alias("iv_contrib"),
     )
 

@@ -66,7 +66,7 @@ PMI_TOP = 20
       WHERE b >= {PMI_MIN_COUNT}
     )
     SELECT w1, w2, CAST(b AS BIGINT) AS n_pair,
-           round(units / 1e6, 4) + 0.0 AS pmi
+           CAST(floor(units / 100.0 + 0.5) AS BIGINT) / 10000.0 + 0.0 AS pmi
     FROM scored
     ORDER BY units DESC, w1, w2 LIMIT {PMI_TOP}
     """,
@@ -128,7 +128,14 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             F.col("b").cast("bigint").alias("n_pair"),
-            (F.round(F.col("units") / 1e6, 4) + F.lit(0.0)).alias("pmi"),
+            # integer-space half-up to 1e-4: round() on a double
+            # diverges between engines at exact .5 ties (the sf5
+            # revenue-bridge lesson, applied to every units/1e6 site)
+            (
+                F.floor(F.col("units") / F.lit(100.0) + F.lit(0.5)).cast("bigint")
+                / F.lit(10000.0)
+                + F.lit(0.0)
+            ).alias("pmi"),
         )
     )
 
