@@ -60,6 +60,8 @@ HEAVY = [
     "semantic_dedup",
     "video_frame_sample",    # large result collect
     "events_session_flush",  # ~1M-row multiset compare
+    "range_join_binned",     # engine is linear, but the DuckDB oracle is a quadratic IEJoin
+    "recursive_org_rollup",  # 755 s DuckDB-side at sf2.5
 ]
 
 # Known-infeasible (oracle-side) per rung: swept only with --force via
