@@ -447,3 +447,15 @@ def test_priority_sample_uses_take_ordered(spark, sf_dir):
     # never a full-corpus global rank window
     f = _facts(spark, sf_dir, "priority_sample")
     assert "TakeOrderedAndProject" in f.text, f.text
+
+
+def test_range_join_binned_never_materializes_pairs(spark, sf_dir):
+    # round-9 regression pin: the query once exploded both interval
+    # sets onto an hour grid and dedup'd (span, incident) candidates —
+    # a pair set that grows ~K^2 in SF (JVM OOM at sf2.5). The CDF-
+    # difference plan must keep pairs out: no Generate (explode) and
+    # no aggregate keyed by the candidate triple anywhere in the plan.
+    f = _facts(spark, sf_dir, "range_join_binned")
+    assert "Generate" not in f.text, "explode reappeared — pair-set plan is back"
+    assert "event_id" not in f.text, "incident ids in plan — pairs are being enumerated"
+    assert f.cartesian == 0 and f.sort_merge_joins == 0
