@@ -48,9 +48,50 @@ def frame_multiset(cols, rows):
     return [cols[i] for i in order], out
 
 
+def compare_via_parquet(con, spark, name, sdf, oracle, scratch):
+    """Bounded-memory compare for full-row-output queries: Spark writes
+    its result to parquet, DuckDB materializes the oracle ONCE into a
+    temp table, and the order-insensitive multiset check is two
+    EXCEPT ALL passes — nothing ever round-trips through a Python list.
+    Strictness matches the collect path: doubles must be bit-identical
+    (set ops treat NULL=NULL and NaN=NaN, like the repr multiset).
+    """
+    t0 = time.time()
+    out = os.path.join(scratch, f"spark_out_{name}")
+    sdf.write.mode("overwrite").parquet(out)
+    con.execute(
+        f"CREATE OR REPLACE VIEW __spark_out AS SELECT * FROM '{out}/*.parquet'"
+    )
+    con.execute(f"CREATE OR REPLACE TEMP TABLE __oracle AS {oracle}")
+    ocols = [r[0] for r in con.execute("DESCRIBE __oracle").fetchall()]
+    scols = sdf.columns
+    if sorted(scols) != sorted(ocols):
+        print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        return False
+    sel = ", ".join(f'"{c}"' for c in sorted(scols))
+    n_s = con.execute("SELECT count(*) FROM __spark_out").fetchone()[0]
+    n_o = con.execute("SELECT count(*) FROM __oracle").fetchone()[0]
+    if n_s != n_o:
+        print(f"FAIL {name}: rowcount spark={n_s} oracle={n_o}")
+        return False
+    diff = con.execute(
+        f"SELECT count(*) FROM ("
+        f"(SELECT {sel} FROM __spark_out EXCEPT ALL SELECT {sel} FROM __oracle)"
+        f" UNION ALL "
+        f"(SELECT {sel} FROM __oracle EXCEPT ALL SELECT {sel} FROM __spark_out))"
+    ).fetchone()[0]
+    if diff:
+        print(f"FAIL {name}: {diff} multiset-differing rows of {n_s}")
+        return False
+    print(f"OK   {name} ({n_s} rows via parquet, {time.time()-t0:.1f}s)")
+    return True
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--via-parquet"]
+    via_parquet = "--via-parquet" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
 
@@ -77,6 +118,17 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        if via_parquet and oracles.get(name) is not None:
+            try:
+                ok = compare_via_parquet(con, spark, name, fn(spark, sf_dir), oracles[name], tmp)
+            except Exception as e:
+                print(f"FAIL {name}: {e}")
+                ok = False
+            finally:
+                release_caches()
+            if not ok:
+                failures.append(name)
+            continue
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
