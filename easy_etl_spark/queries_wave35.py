@@ -581,21 +581,27 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cdf_counts(points: DataFrame, probes: DataFrame, probe_first: bool, out: str) -> DataFrame:
         """For each probe (user_id, day, ts_us): running count of
         points with ts_us < probe (probe_first) or <= probe."""
+        # probe rows carry an explicit marker — do NOT overload user_id
+        # nullability as the sentinel (a NULL-user_id span group would be
+        # silently dropped and diverge from the oracle's GROUP BY, which
+        # keeps a NULL group).
         pt = points.groupBy("ts_us").agg(F.count(F.lit(1)).alias("c"))
         pt = pt.select(
             F.lit(None).cast("long").alias("user_id"),
             F.lit(None).cast("string").alias("day"),
             (F.col("ts_us") * 2 + (1 if probe_first else 0)).alias("ord"),
             F.col("c").cast("long").alias("c"),
+            F.lit(False).alias("__is_probe"),
         )
         pr = probes.select(
             F.col("user_id").cast("long").alias("user_id"),
             "day",
             (F.col("ts_us") * 2 + (0 if probe_first else 1)).alias("ord"),
             F.lit(0).cast("long").alias("c"),
+            F.lit(True).alias("__is_probe"),
         )
         cum = global_running_offset(pr.unionByName(pt), "c", "ord", out_col=out)
-        return cum.filter(F.col("user_id").isNotNull()).select("user_id", "day", out)
+        return cum.filter(F.col("__is_probe")).select("user_id", "day", out)
 
     c_lt = cdf_counts(  # #{i_start < s_end}
         inc.select(F.col("start_us").alias("ts_us")),
@@ -609,11 +615,18 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_first=False,
         out="n_le",
     )
+    # null-safe join: the span grouping keeps NULL user_id / day groups
+    # (matching the oracle's GROUP BY); a plain equi-join would drop them
     return (
-        c_lt.join(c_le, ["user_id", "day"])
+        c_lt.alias("lt")
+        .join(
+            c_le.alias("le"),
+            F.col("lt.user_id").eqNullSafe(F.col("le.user_id"))
+            & F.col("lt.day").eqNullSafe(F.col("le.day")),
+        )
         .select(
-            "user_id",
-            "day",
+            F.col("lt.user_id").alias("user_id"),
+            F.col("lt.day").alias("day"),
             (F.col("n_lt") - F.col("n_le")).cast("bigint").alias("n_incidents"),
         )
     )

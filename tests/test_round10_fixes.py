@@ -1,0 +1,138 @@
+"""Round-10 regression gates for the ADVICE items.
+
+* compare_via_parquet must flag a -0.0 vs 0.0 divergence (DuckDB's
+  EXCEPT ALL treats them equal; the collect/repr path flags them — the
+  parquet path now carries a signbit shadow column).
+* compare_via_parquet must flag a silent type coercion (VARCHAR oracle
+  vs BIGINT spark) even when the rendered values would match.
+* compare_oracle must NOT rmtree a caller-owned SPARK_GRAFT_ORACLE_TMP.
+* range_join_binned's probe/count disambiguation uses an explicit
+  marker column, so a NULL user_id span group survives to the output.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import compare_oracle as co
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def test_parquet_compare_flags_negative_zero(spark, duck, tmp_path, capsys):
+    sdf = spark.createDataFrame([(1, -0.0)], "id int, v double")
+    ok = co.compare_via_parquet(
+        duck, spark, "negzero", sdf, "SELECT 1 AS id, 0.0::DOUBLE AS v", str(tmp_path)
+    )
+    assert not ok
+    assert "multiset-differing" in capsys.readouterr().out
+
+
+def test_parquet_compare_passes_identical_zero(spark, duck, tmp_path):
+    sdf = spark.createDataFrame([(1, 0.0), (2, -0.0)], "id int, v double")
+    ok = co.compare_via_parquet(
+        duck,
+        spark,
+        "zeros",
+        sdf,
+        "SELECT 1 AS id, 0.0::DOUBLE AS v UNION ALL SELECT 2, -0.0::DOUBLE",
+        str(tmp_path),
+    )
+    assert ok
+
+
+def test_parquet_compare_flags_type_coercion(spark, duck, tmp_path, capsys):
+    # values render identically ('1'), types differ: VARCHAR vs BIGINT
+    sdf = spark.createDataFrame([(1,)], "v long")
+    ok = co.compare_via_parquet(
+        duck, spark, "typedrift", sdf, "SELECT '1' AS v", str(tmp_path)
+    )
+    assert not ok
+    assert "type-class mismatch" in capsys.readouterr().out
+
+
+def test_parquet_compare_allows_width_difference(spark, duck, tmp_path):
+    # INT spark vs BIGINT oracle is the same class — must still pass
+    sdf = spark.createDataFrame([(7,)], "v int")
+    ok = co.compare_via_parquet(
+        duck, spark, "width", sdf, "SELECT 7::BIGINT AS v", str(tmp_path)
+    )
+    assert ok
+
+
+def test_env_owned_oracle_tmp_survives_clean_exit():
+    owned = tempfile.mkdtemp(prefix="caller_owned_")
+    canary = os.path.join(owned, "unrelated.txt")
+    with open(canary, "w") as f:
+        f.write("do not delete")
+    env = dict(os.environ, SPARK_GRAFT_ORACLE_TMP=owned, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tools/compare_oracle.py",
+            "/root/testdata/sf0.001",
+            "scalar_functions",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert os.path.exists(canary), "caller-owned SPARK_GRAFT_ORACLE_TMP was deleted"
+    import shutil
+
+    shutil.rmtree(owned)
+
+
+def test_range_join_binned_keeps_null_user_group(spark, tmp_path):
+    """A span group with NULL user_id must not be silently dropped now
+    that probe rows are marked explicitly instead of via user_id IS NULL."""
+    import pandas as pd
+
+    from easy_etl_spark import queries_wave35 as w35
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": pd.array([None, None, 5, 5], dtype="Int64"),
+            "event_type": ["view", "error", "view", "view"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00",
+                    "2024-01-01 10:10:00",
+                    "2024-01-01 10:05:00",
+                    "2024-01-01 11:00:00",
+                ]
+            ),
+            "amount": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    d = str(tmp_path / "rung")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(ev).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = w35.range_join_binned(spark, d).collect()
+    by_user = {r["user_id"]: r["n_incidents"] for r in out}
+    assert None in by_user, f"NULL user group dropped: {sorted(by_user)}"
+    # NULL-user span 10:00-10:10 overlaps the 10:10-10:40 error window?
+    # strict overlap: i_start < s_end is 10:10 < 10:10 = False -> 0
+    assert by_user[None] == 0
+    # user 5 span 10:05-11:00 overlaps incident (10:10, 10:40) -> 1
+    assert by_user[5] == 1

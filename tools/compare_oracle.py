@@ -48,13 +48,44 @@ def frame_multiset(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _type_class(duck_type: str) -> str:
+    """Collapse a DuckDB column type to a comparable class so silent
+    coercion (e.g. VARCHAR vs BIGINT) is flagged without false-failing
+    on legitimate width differences (INT vs BIGINT, DECIMAL scales)."""
+    t = duck_type.upper()
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+        return "nested"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "integer"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith(("TIMESTAMP", "TIME")):
+        return "timestamp"
+    if t in ("BLOB", "BYTEA", "BINARY", "VARBINARY"):
+        return "binary"
+    return t
+
+
 def compare_via_parquet(con, spark, name, sdf, oracle, scratch):
     """Bounded-memory compare for full-row-output queries: Spark writes
     its result to parquet, DuckDB materializes the oracle ONCE into a
     temp table, and the order-insensitive multiset check is two
     EXCEPT ALL passes — nothing ever round-trips through a Python list.
     Strictness matches the collect path: doubles must be bit-identical
-    (set ops treat NULL=NULL and NaN=NaN, like the repr multiset).
+    INCLUDING sign of zero (DuckDB's EXCEPT ALL treats -0.0 == 0.0, so
+    float/double columns get a shadow ``signbit(c)`` comparator column;
+    set ops treat NULL=NULL and NaN=NaN, like the repr multiset).
+    Column TYPES are also checked (by class), not just names — DuckDB
+    implicit coercion would otherwise mask type drift.
     """
     t0 = time.time()
     out = os.path.join(scratch, f"spark_out_{name}")
@@ -63,12 +94,29 @@ def compare_via_parquet(con, spark, name, sdf, oracle, scratch):
         f"CREATE OR REPLACE VIEW __spark_out AS SELECT * FROM '{out}/*.parquet'"
     )
     con.execute(f"CREATE OR REPLACE TEMP TABLE __oracle AS {oracle}")
-    ocols = [r[0] for r in con.execute("DESCRIBE __oracle").fetchall()]
+    odesc = {r[0]: r[1] for r in con.execute("DESCRIBE __oracle").fetchall()}
+    sdesc = {r[0]: r[1] for r in con.execute("DESCRIBE __spark_out").fetchall()}
+    ocols = list(odesc)
     scols = sdf.columns
     if sorted(scols) != sorted(ocols):
         print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
         return False
-    sel = ", ".join(f'"{c}"' for c in sorted(scols))
+    tmis = [
+        (c, sdesc[c], odesc[c])
+        for c in sorted(scols)
+        if _type_class(sdesc[c]) != _type_class(odesc[c])
+    ]
+    if tmis:
+        print(f"FAIL {name}: column type-class mismatch: {tmis}")
+        return False
+    sel_parts = []
+    for c in sorted(scols):
+        sel_parts.append(f'"{c}"')
+        if _type_class(sdesc[c]) == "float":
+            # -0.0 vs 0.0 strictness: EXCEPT ALL sees them equal, the
+            # repr-multiset path does not — compare the sign bit too
+            sel_parts.append(f'CASE WHEN "{c}" = 0 THEN signbit("{c}") END')
+    sel = ", ".join(sel_parts)
     n_s = con.execute("SELECT count(*) FROM __spark_out").fetchone()[0]
     n_o = con.execute("SELECT count(*) FROM __oracle").fetchone()[0]
     if n_s != n_o:
@@ -107,7 +155,8 @@ def main():
     # SPARK_GRAFT_ORACLE_TMP lets an orchestrator own the dir so it can
     # reap it even when this process is SIGKILLed mid-spill (a timed-out
     # sf2.5 corpus replay leaks ~30 GB otherwise).
-    tmp = os.environ.get("SPARK_GRAFT_ORACLE_TMP") or tempfile.mkdtemp(prefix="duckdb_oracle_")
+    env_tmp = os.environ.get("SPARK_GRAFT_ORACLE_TMP")
+    tmp = env_tmp or tempfile.mkdtemp(prefix="duckdb_oracle_")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
@@ -172,7 +221,11 @@ def main():
         else:
             failures.append(name)
     print("\n==", "ALL OK" if not failures else f"FAILURES: {failures}")
-    shutil.rmtree(tmp, ignore_errors=True)
+    # only reap a dir WE created: when SPARK_GRAFT_ORACLE_TMP points at a
+    # caller-owned (possibly shared) dir, cleanup belongs to the
+    # orchestrator — rmtree'ing it here would delete unrelated files
+    if not env_tmp:
+        shutil.rmtree(tmp, ignore_errors=True)
     return 1 if failures else 0
 
 

@@ -110,12 +110,19 @@ def run_chunk(sf_dir: str, names: list[str], timeout: int, cpus: int) -> tuple[d
         err = f"chunk timeout after {timeout}s"
     finally:
         shutil.rmtree(spill, ignore_errors=True)
+    chunk_secs = round(time.time() - t0, 1)
     parsed = parse_chunk_output(text)
-    results = {
-        n: {"status": st, "detail": d, "secs": round(time.time() - t0, 1)}
-        for n, (st, d) in parsed.items()
-        if n in names
-    }
+    results = {}
+    for n, (st, d) in parsed.items():
+        if n not in names:
+            continue
+        # per-query secs: compare_oracle prints "..., 4.5s)" on OK/SKIP
+        # lines — use that; stamping every chunk-mate with the whole-chunk
+        # elapsed overstated light queries (ADVICE round 9). chunk_secs is
+        # kept separately for makespan accounting.
+        m = re.search(r"([\d.]+)s\)\s*$", d)
+        secs = float(m.group(1)) if m else chunk_secs
+        results[n] = {"status": st, "detail": d, "secs": secs, "chunk_secs": chunk_secs}
     unresolved = [n for n in names if n not in results]
     return results, unresolved, err
 
