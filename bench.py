@@ -183,6 +183,34 @@ DETAIL_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO, "BENCH_DETAIL.json")
 )
 
+#: Host-drift control (round 10, VERDICT r9 item 1). Every section
+#: subprocess times q1_pricing_summary (warmed, fresh JVM) at its own
+#: sf_dir BEFORE the section queries and reports it as ``control_q1``.
+#: The parent re-runs a section ONCE when its control exceeds
+#: 1.5x the idle-host reference below, and stamps the payload with
+#: ``host_window: ok|degraded|unknown`` — so a degraded measurement
+#: window is distinguishable from a code regression in the artifact
+#: itself (BENCH_r09.json recorded 1.88x baseline for an engine that
+#: measured 0.95x on an idle host; the artifact could not say which).
+#: References: judge idle re-run r9 (q1 0.81 s @ sf0.1) and the round-8
+#: control log (q1 1.16-1.26 s in-section; degraded windows 1.55-1.74).
+CONTROL_QUERY = "q1_pricing_summary"
+CONTROL_REF = {  # rung basename -> idle-host q1 seconds
+    "sf0.1": 0.85,
+    "testdata_sf1": 1.25,
+}
+CONTROL_REF_DEFAULT = 1.25
+CONTROL_DEGRADED_FACTOR = 1.5
+
+
+def control_ref_for(sf_dir: str) -> float:
+    env = os.environ.get("SPARK_GRAFT_CONTROL_REF")
+    if env:
+        return float(env)
+    return CONTROL_REF.get(
+        os.path.basename(os.path.normpath(sf_dir)), CONTROL_REF_DEFAULT
+    )
+
 
 def _prime_ivf(spark, sf_dir: str) -> None:
     """Train the IVF index for this corpus once, outside the timers —
@@ -213,7 +241,7 @@ def run_section(names: list[str], sf_dir: str) -> dict[str, float]:
     # DIFFERENT (tiny) files — only plan-structure caches carry.
     warm_dir = "/root/testdata/sf0.001"
     warm_sf = warm_dir if os.path.isdir(warm_dir) else sf_dir
-    for name in names:
+    for name in [*names, CONTROL_QUERY]:
         try:
             QUERIES[name](spark, warm_sf).write.mode("overwrite").format(
                 "noop"
@@ -232,6 +260,18 @@ def run_section(names: list[str], sf_dir: str) -> dict[str, float]:
         # the timed number measures link cost, not dim keying.
         QUERIES["link_closest_shipdate"](spark, sf_dir)
 
+    # host-drift control: one warmed q1 pass at the TARGET sf, timed the
+    # same way as the section queries, reported alongside them
+    t0 = time.perf_counter()
+    try:
+        QUERIES[CONTROL_QUERY](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        control = round(time.perf_counter() - t0, 3)
+    except Exception:
+        control = None
+    release_caches()
+
     out: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
@@ -242,7 +282,7 @@ def run_section(names: list[str], sf_dir: str) -> dict[str, float]:
         # curation frames) are tracked; release them so one query's
         # executor storage never leaks into the next measurement
         release_caches()
-    return out
+    return out, control
 
 
 def _spawn(section: str, sf_dir: str) -> dict:
@@ -282,15 +322,43 @@ def _spawn(section: str, sf_dir: str) -> dict:
     return json.loads(line)
 
 
+def spawn_with_drift_guard(section: str, sf_dir: str, spawn=None) -> dict:
+    """Run a section; if its q1 control reads degraded (>1.5x the idle
+    reference), re-run ONCE and keep the better-window attempt. Both
+    attempts' controls are recorded so the artifact shows the retry
+    happened. ``spawn`` is injectable for tests."""
+    spawn = spawn or _spawn
+    ref = control_ref_for(sf_dir)
+    limit = round(ref * CONTROL_DEGRADED_FACTOR, 3)
+    first = spawn(section, sf_dir)
+    c1 = first.get("control_q1")
+    attempts = [c1]
+    best = first
+    if c1 is not None and c1 > limit:
+        second = spawn(section, sf_dir)
+        c2 = second.get("control_q1")
+        attempts.append(c2)
+        if c2 is not None and c2 < c1:
+            best = second
+    c = best.get("control_q1")
+    best["control_ref"] = ref
+    best["control_attempts"] = attempts
+    best["host_window"] = (
+        "unknown" if c is None else ("ok" if c <= limit else "degraded")
+    )
+    return best
+
+
 def main() -> None:
     if "--section" in sys.argv:
         section = sys.argv[sys.argv.index("--section") + 1]
         sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
-        times = run_section(SECTIONS[section], sf_dir)
+        times, control = run_section(SECTIONS[section], sf_dir)
         print(json.dumps({
             "section": section,
             "sf_dir": sf_dir,
             "total": round(sum(times.values()), 3),
+            "control_q1": control,
             "queries": times,
         }))
         return
@@ -298,13 +366,13 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
     results: dict[str, dict] = {}
     for section in SECTIONS:
-        results[section] = _spawn(section, SF_DIR)
+        results[section] = spawn_with_drift_guard(section, SF_DIR)
 
     run_sf1 = os.path.isdir(SF1_DIR) and not os.environ.get(
         "SPARK_GRAFT_SKIP_SF1"
     )
     if run_sf1:
-        results["sf1"] = _spawn("v1", SF1_DIR)
+        results["sf1"] = spawn_with_drift_guard("v1", SF1_DIR)
 
     v1 = results["v1"]
     detail = {
@@ -313,6 +381,10 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "isolation": "one fresh subprocess/JVM per section (round 8)",
+        "drift_control": (
+            f"per-section warmed {CONTROL_QUERY} control; section re-run once "
+            f"when control > {CONTROL_DEGRADED_FACTOR}x idle ref (round 10)"
+        ),
         "sections": results,
     }
     with open(DETAIL_PATH, "w") as f:
@@ -321,12 +393,21 @@ def main() -> None:
     # Compact final line: per-query only for the baseline-comparable
     # v1 set; totals for everything else. Stays ~1 KB so a bounded
     # tail capture of stdout always contains the whole line.
+    windows = [r.get("host_window") for r in results.values()]
+    overall_window = (
+        "degraded" if "degraded" in windows
+        else ("unknown" if "unknown" in windows else "ok")
+    )
     compact = {
         "metric": "headline_query_wall_seconds",
         "value": v1.get("total"),
         "unit": "sec",
         "queries": v1.get("queries", {}),
         "sf": sf,
+        "control_q1": v1.get("control_q1"),
+        "control_ref": v1.get("control_ref"),
+        "host_window": overall_window,
+        "controls": {s: r.get("control_q1") for s, r in results.items()},
     }
     if "error" in v1:
         compact["error_v1"] = v1["error"]

@@ -61,9 +61,16 @@ def get_spark(app_name: str = "easy-etl-spark", shuffle_partitions: int | None =
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
+    # SPARK_GRAFT_TASK_RETRIES=N turns on task retries in local mode
+    # (local[k] defaults to maxFailures=1, i.e. any task failure is
+    # fatal) — the chaos harness (tools/chaos_retry.py) uses this to
+    # prove output determinism under forced task retry, the execution
+    # reality of any 1000-executor run.
+    retries = os.environ.get("SPARK_GRAFT_TASK_RETRIES")
+    master = f"local[{cpus},{int(retries)}]" if retries else f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

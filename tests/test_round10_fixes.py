@@ -100,6 +100,82 @@ def test_env_owned_oracle_tmp_survives_clean_exit():
     shutil.rmtree(owned)
 
 
+def test_bench_drift_guard_retries_once_and_labels_window(monkeypatch):
+    """bench.py's host-drift guard: a degraded q1 control triggers exactly
+    one section re-run; the better attempt wins; the window label and both
+    attempts land in the payload (VERDICT r9 item 1)."""
+    import bench
+
+    calls = []
+
+    def fake_spawn(controls):
+        it = iter(controls)
+
+        def spawn(section, sf_dir):
+            c = next(it)
+            calls.append(section)
+            return {"section": section, "control_q1": c, "total": 10.0 + (c or 0)}
+
+        return spawn
+
+    monkeypatch.setenv("SPARK_GRAFT_CONTROL_REF", "1.0")
+
+    # ok window: no retry
+    calls.clear()
+    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([1.2]))
+    assert r["host_window"] == "ok" and len(calls) == 1
+    assert r["control_attempts"] == [1.2] and r["control_ref"] == 1.0
+
+    # degraded then ok: one retry, second attempt kept, labeled ok
+    calls.clear()
+    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([2.0, 0.9]))
+    assert len(calls) == 2
+    assert r["control_q1"] == 0.9 and r["host_window"] == "ok"
+    assert r["control_attempts"] == [2.0, 0.9]
+
+    # degraded twice: only ONE retry, labeled degraded honestly
+    calls.clear()
+    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([2.0, 1.8]))
+    assert len(calls) == 2 and r["host_window"] == "degraded"
+    assert r["control_q1"] == 1.8
+
+    # control missing (section error): unknown, no retry
+    calls.clear()
+    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([None]))
+    assert len(calls) == 1 and r["host_window"] == "unknown"
+
+
+def test_chaos_retry_hash_identical_under_task_failures():
+    """Forced task failures + retries (local[N,4]) must not change any
+    output bit: the round-5 double-evaluation class (driver-collected
+    boundary metadata vs re-evaluated partitions) is exactly what task
+    retry resurfaces. Own subprocess — the retry budget is a master-URL
+    property fixed at session build."""
+    import json
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tools/chaos_retry.py",
+            "/root/testdata/sf0.001",
+            "range_join_binned",
+            "kcore_hindex",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    lines = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    per_query = [l for l in lines if "query" in l]
+    assert len(per_query) == 2
+    for r in per_query:
+        assert r["ok"], r
+        assert r["chaos"]["injected_failures"] > 0, r
+
+
 def test_range_join_binned_keeps_null_user_group(spark, tmp_path):
     """A span group with NULL user_id must not be silently dropped now
     that probe rows are marked explicitly instead of via user_id IS NULL."""

@@ -18,16 +18,19 @@ Scaling recipe (factor K, default 10 => sf1):
   — per-user density multiplies and every time-windowed self-join's
   OUTPUT grows ~K² (measured: 97x pairs for K=10), which benchmarks
   the workload's combinatorics, not the engine.
-* documents: copy 0 verbatim; copy i>0 caesar-shifts every letter by
-  i. Each copy's shingle space is DISJOINT from every other copy's, so
-  the near-dup pair structure of sf0.1 replicates exactly K times —
-  dedup benches scale linearly by construction instead of exploding
-  on cross-copy exact duplicates.
+* documents: copy 0 verbatim; copy i>0 applies a per-copy PSEUDORANDOM
+  ALPHABET PERMUTATION (letters and digits; case-consistent). A
+  character bijection applied per document preserves every within-copy
+  Jaccard EXACTLY (shingles map 1:1), while two different copies'
+  shingle spaces overlap only on shingles fixed by the relative
+  permutation — expected ~1 fixed letter, so cross-copy shingle
+  overlap is negligible and no cross-copy pair reaches any realistic
+  near-dup threshold (asserted by tests/test_gen_sf.py).
 * embeddings: copy i multiplies every vector by a copy-specific
   deterministic Rademacher (+-1) sign pattern. Within a copy all inner
   products are preserved EXACTLY (both sides flip the same signs);
   across copies expected cosine is 0 with std ≈ 1/sqrt(dim) (0.125 at
-  dim=64) — so unlike documents (whose shingle spaces are EXACTLY
+  dim=64) — so unlike documents (whose shingle spaces are near-
   disjoint), cross-copy near-dup pairs DO exist at thresholds within
   a few sigma of 0: measured at sf2.5 / threshold 0.45 (3.6 sigma),
   116,508 true pairs vs 3,600 within-copy ones. Oracle checks on the
@@ -35,12 +38,33 @@ Scaling recipe (factor K, default 10 => sf1):
   ground truth (numpy blockwise works where DuckDB times out), NOT
   against K x the base-rung result.
 
-Determinism: pure numpy/pyarrow with fixed seeds — same bytes on every
-run. Usage:  python tools/gen_sf.py [K] [src_dir] [dst_dir]
+COMPOSITION SAFETY (round 10, VERDICT r9 item 3). Rungs are built by
+composing scalings (sf0.1 -K=10-> sf1 -K=5-> sf5); through round 9 the
+composed copies COLLIDED, capping dedup/ANN rungs at sf2.5:
+
+* caesar shifts form the 26-element group Z26 — composed shifts ADD
+  mod 26, so level-1 copy i + level-2 copy j collides with any (i',j')
+  of equal total shift, creating cross-copy EXACT duplicates.
+* the Rademacher seeds (4242+i) were REUSED at every level, so copy
+  (i=1,j=2) carried sign pattern s1*s2 == copy (i=2,j=1) — exact
+  duplicate embeddings across composed copies.
+
+The fix: transforms now live in groups too large to collide (S26 has
+4e26 elements; {-1,+1}^dim has 2^64 at dim 64) and every copy's seed
+is sha256-derived from (src-rung basename, K, copy index), so no two
+invocations in a composition chain share a seed. Composed transforms
+(perm_j o perm_i, signs_j * signs_i) are then pairwise distinct with
+probability 1 - O(copies^2 / |group|) — collision-free in practice,
+and asserted per-invocation below plus cross-invocation by
+tests/test_gen_sf.py.
+
+Determinism: pure numpy/pyarrow with sha256-fixed seeds — same bytes
+on every run. Usage:  python tools/gen_sf.py [K] [src_dir] [dst_dir]
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 
@@ -52,9 +76,40 @@ import pyarrow.parquet as pq
 SRC_DEFAULT = "/root/testdata/sf0.1"
 DST_DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1")
 
-# (table, [(key_col, stride_is_row_count_of_table)]) — stride for an FK
-# column is the referenced table's key cardinality
 FIXED = ("region", "nation")
+
+_LOW = "abcdefghijklmnopqrstuvwxyz"
+_DIG = "0123456789"
+
+
+def copy_seed(tag: str, i: int, salt: str) -> int:
+    """Globally-unique deterministic seed for copy ``i`` of a scaling
+    invocation identified by ``tag`` (the src rung's basename + K).
+    sha256 keeps seeds from DIFFERENT composition levels disjoint — the
+    round-9 collision was seed reuse across levels."""
+    h = hashlib.sha256(f"{salt}|{tag}|{i}".encode()).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+def copy_text_translation(tag: str, i: int) -> dict[int, int] | None:
+    """Per-copy alphabet permutation as a str.translate table.
+    Copy 0 is verbatim (returns None)."""
+    if i == 0:
+        return None
+    rng = np.random.default_rng(copy_seed(tag, i, "text-perm"))
+    lp = "".join(np.array(list(_LOW))[rng.permutation(26)])
+    dp = "".join(np.array(list(_DIG))[rng.permutation(10)])
+    return str.maketrans(
+        _LOW + _LOW.upper() + _DIG, lp + lp.upper() + dp
+    )
+
+
+def copy_sign_pattern(tag: str, i: int, dim: int) -> np.ndarray | None:
+    """Per-copy Rademacher sign vector; copy 0 is the identity."""
+    if i == 0:
+        return None
+    rng = np.random.default_rng(copy_seed(tag, i, "emb-signs"))
+    return rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim)
 
 
 def _read(src: str, name: str) -> pa.Table:
@@ -65,29 +120,15 @@ def _offset(col: pa.ChunkedArray, delta: int) -> pa.ChunkedArray:
     return pc.add(col, pa.scalar(delta, type=col.type))
 
 
-def _caesar_shift_batch(texts: list, shift: int) -> list:
-    low = "abcdefghijklmnopqrstuvwxyz"
-    up = low.upper()
-    table = str.maketrans(
-        low + up,
-        low[shift:] + low[:shift] + up[shift:] + up[:shift],
-    )
-    return [t.translate(table) if t is not None else None for t in texts]
-
-
 def scale(src: str, dst: str, k: int) -> None:
-    if k > 26:
-        # the caesar transform gives copies 0..25 pairwise-distinct
-        # letter bijections (verbatim, then shifts 2..25,1); copy 26
-        # would repeat copy 1's shift, silently creating cross-copy
-        # EXACT duplicates and breaking the disjoint-shingle-space
-        # property the dedup benches rely on. Refuse instead.
-        raise ValueError(
-            f"k={k} > 26: the per-copy caesar alphabet has only 26 distinct "
-            "bijections, so copies i and i-25 would carry identical text. "
-            "Max supported rung from sf0.1 is k=26 (sf2.6)."
-        )
+    tag = f"{os.path.basename(os.path.normpath(src))}|k={k}"
     os.makedirs(dst, exist_ok=True)
+
+    # per-invocation distinctness guard: K text permutations and K sign
+    # patterns must be pairwise distinct (identity included)
+    perms = [copy_text_translation(tag, i) for i in range(k)]
+    sigs = {repr(sorted(p.items())) if p else "id" for p in perms}
+    assert len(sigs) == k, f"text permutation collision within {tag}"
 
     for name in FIXED:
         pq.write_table(_read(src, name), os.path.join(dst, f"{name}.parquet"))
@@ -166,8 +207,14 @@ def scale(src: str, dst: str, k: int) -> None:
                 "doc_id",
                 _offset(t["doc_id"], i * n_docs),
             )
+            table = perms[i]
             shifted_txt = pa.chunked_array(
-                [pa.array(_caesar_shift_batch(texts0, i % 25 + 1), type=pa.string())]
+                [
+                    pa.array(
+                        [x.translate(table) if x is not None else None for x in texts0],
+                        type=pa.string(),
+                    )
+                ]
             )
             t = t.set_column(t.schema.get_field_index("text"), "text", shifted_txt)
         copies.append(t)
@@ -180,21 +227,20 @@ def scale(src: str, dst: str, k: int) -> None:
     mat = np.asarray(emb["embedding"].combine_chunks().to_numpy(zero_copy_only=False).tolist(), dtype=np.float32)
     dim = mat.shape[1]
     labels = emb["label"]
+    sign_sigs = set()
     copies = []
     for i in range(k):
         vid = emb["vec_id"] if i == 0 else _offset(emb["vec_id"], i * n_emb)
-        if i == 0:
-            m = mat
-        else:
-            rng = np.random.default_rng(4242 + i)
-            signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim)
-            m = mat * signs  # same flip both sides => within-copy sims exact
+        signs = copy_sign_pattern(tag, i, dim)
+        sign_sigs.add(tuple(signs) if signs is not None else "id")
+        m = mat if signs is None else mat * signs  # same flip both sides => within-copy sims exact
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(m.reshape(-1), type=pa.float32()), dim
         ).cast(pa.list_(pa.float32()))
         copies.append(
             pa.table({"vec_id": vid, "embedding": arr, "label": labels})
         )
+    assert len(sign_sigs) == k, f"sign pattern collision within {tag}"
     out = pa.concat_tables(copies)
     pq.write_table(out, os.path.join(dst, "embeddings.parquet"))
     print(f"embeddings: {len(emb)} -> {len(out)}")
