@@ -96,6 +96,17 @@ def get_spark(app_name: str = "easy-etl-spark", shuffle_partitions: int | None =
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/easy_etl_spark_warehouse"),
         )
     )
+    # SPARK_GRAFT_EVENTLOG_DIR turns on the event log (static conf, so
+    # it must ride the builder) — tools/spill_report.py parses it for
+    # per-task spill / peak-memory evidence
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evlog:
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{evlog}")
+            # plain-text lines so the parser needs no zstd codec
+            .config("spark.eventLog.compress", "false")
+        )
     return builder.getOrCreate()
 
 

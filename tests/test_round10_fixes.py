@@ -176,6 +176,76 @@ def test_chaos_retry_hash_identical_under_task_failures():
         assert r["chaos"]["injected_failures"] > 0, r
 
 
+def test_spill_gate_flags_superlinear_growth(tmp_path):
+    """spill_report's gate: shuffle/spill growing faster than slack x
+    data-ratio fails; proportional growth and sub-GiB noise pass."""
+    import spill_report as sr
+
+    def ledger(path, shuffle, spill):
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "results": {
+                        "q": {
+                            "query": "q",
+                            "shuffle_write_bytes": shuffle,
+                            "memory_bytes_spilled": spill,
+                            "disk_bytes_spilled": 0,
+                        }
+                    }
+                },
+                f,
+            )
+
+    import json
+
+    small, big = str(tmp_path / "s.json"), str(tmp_path / "b.json")
+    GIB = 1 << 30
+
+    # proportional growth at ratio 2: OK
+    ledger(small, 10 * GIB, 0)
+    ledger(big, 20 * GIB, 0)
+    assert sr.gate(small, big, ratio=2.0, slack=2.0) == 0
+
+    # 10x shuffle growth at ratio 2 (allowed 4x): FAIL
+    ledger(big, 100 * GIB, 0)
+    assert sr.gate(small, big, ratio=2.0, slack=2.0) == 1
+
+    # spill appearing from nothing above the 1 GiB floor: FAIL
+    ledger(small, 10 * GIB, 0)
+    ledger(big, 20 * GIB, 2 * GIB)
+    assert sr.gate(small, big, ratio=2.0, slack=2.0) == 1
+
+    # sub-floor spill is noise: OK
+    ledger(big, 20 * GIB, GIB // 2)
+    assert sr.gate(small, big, ratio=2.0, slack=2.0) == 0
+
+
+def test_spill_report_run_mode_collects_task_metrics():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tools/spill_report.py",
+            "run",
+            "/root/testdata/sf0.001",
+            "q1_pricing_summary",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json
+
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["tasks"] > 0
+    assert rec["input_bytes"] > 0
+    assert rec["peak_execution_memory"] > 0
+
+
 def test_range_join_binned_keeps_null_user_group(spark, tmp_path):
     """A span group with NULL user_id must not be silently dropped now
     that probe rows are marked explicitly instead of via user_id IS NULL."""
