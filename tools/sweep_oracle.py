@@ -70,6 +70,32 @@ HEAVY = [
 INFEASIBLE = {
     "testdata_sf25": {"triangle_count", "dedup_embedding_cosine"},
     "testdata_sf5": {"triangle_count", "dedup_embedding_cosine"},
+    "testdata_sf10": {"triangle_count", "dedup_embedding_cosine"},
+}
+
+# Full-row-output queries (result cardinality ~ input cardinality):
+# multi-million rows at sf5, past the collect path's driver-memory
+# ceiling. Scheduled in their own chunks with --via-parquet (round 9's
+# parquet-mediated compare; the 17 names verified that way in
+# SWEEP_sf5_r09.json).
+VIA_PARQUET = {
+    "cast_types",
+    "cdc_apply_changes",
+    "default_falsy",
+    "events_session",
+    "events_session_dynamic_gap",
+    "events_session_flush",
+    "events_trailing_hour",
+    "feature_matrix_pit",
+    "ignore_drop",
+    "incremental_join_maintenance",
+    "incremental_watermark",
+    "link_closest_shipdate",
+    "merge_upsert",
+    "middleware_pandas",
+    "running_total",
+    "scalar_functions",
+    "window_rank_functions",
 }
 
 LINE = re.compile(r"^(OK|FAIL|SKIP)\s+(\S+?):?\s+(.*)$")
@@ -98,7 +124,8 @@ def run_chunk(sf_dir: str, names: list[str], timeout: int, cpus: int) -> tuple[d
     # clean up after itself, and a leaked sf2.5 spill is ~30 GB
     spill = tempfile.mkdtemp(prefix="sweep_spill_")
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_ORACLE_TMP=spill)
-    cmd = [sys.executable, os.path.join(REPO, "tools", "compare_oracle.py"), sf_dir, *names]
+    flags = ["--via-parquet"] if all(n in VIA_PARQUET for n in names) else []
+    cmd = [sys.executable, os.path.join(REPO, "tools", "compare_oracle.py"), *flags, sf_dir, *names]
     t0 = time.time()
     try:
         proc = subprocess.run(
@@ -154,8 +181,12 @@ def main() -> int:
             names = [n for n in names if n not in HEAVY]
 
     heavy = [n for n in HEAVY if n in names]
-    light = [n for n in names if n not in heavy]
+    viap = [n for n in names if n in VIA_PARQUET and n not in heavy]
+    light = [n for n in names if n not in heavy and n not in viap]
     chunks: list[list[str]] = [[n] for n in heavy]
+    # via-parquet names chunk together so the whole chunk can carry the
+    # flag (compare_oracle applies it invocation-wide)
+    chunks += [viap[i : i + args.chunk] for i in range(0, len(viap), args.chunk)]
     chunks += [light[i : i + args.chunk] for i in range(0, len(light), args.chunk)]
 
     work: queue.Queue = queue.Queue()
