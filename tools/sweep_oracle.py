@@ -100,6 +100,14 @@ VIA_PARQUET = {
 
 LINE = re.compile(r"^(OK|FAIL|SKIP)\s+(\S+?):?\s+(.*)$")
 
+# Infrastructure failures, not correctness verdicts: the chunk's JVM or
+# DuckDB died out from under the remaining queries. Requeued solo like
+# unresolved names instead of being recorded as FAIL.
+TRANSIENT = re.compile(
+    r"Connection refused|No space left|Could not write file|"
+    r"Java gateway process|Py4JNetworkError|Answer from Java side is empty"
+)
+
 
 def registry_names() -> list[str]:
     sys.path.insert(0, REPO)
@@ -204,6 +212,17 @@ def main() -> int:
             except queue.Empty:
                 return
             results, unresolved, err = run_chunk(args.sf_dir, chunk, tmo, args.cpus)
+            if not is_retry:
+                # infra-killed chunk mates (dead JVM / full disk) get a
+                # fresh solo attempt instead of a recorded FAIL
+                transient = [
+                    n
+                    for n, r in results.items()
+                    if r["status"] == "FAIL" and TRANSIENT.search(r["detail"])
+                ]
+                for n in transient:
+                    del results[n]
+                unresolved = unresolved + transient
             with lock:
                 ledger.update(results)
                 for n, r in results.items():
