@@ -56,12 +56,26 @@ def dec_sum(col: Column | str, scale: int = 2) -> Column:
 
 def dec_avg(col: Column | str, ndigits: int = 4, scale: int = 6) -> Column:
     """Order-independent mean of a double column: exact integer-unit
-    sum, two deterministic double divisions, then round. Null semantics
-    match ``avg`` (count of non-nulls in the denominator)."""
+    sum, display-rounded ENTIRELY in integer space. Null semantics
+    match ``avg`` (count of non-nulls in the denominator).
+
+    Why no final ``round()``: the mean S/(10^scale·n) can land on an
+    EXACT decimal half-tie at ``ndigits`` (found at sf5:
+    unigram_logprob doc 658, mean·1e4 = -73096.5 — Spark's HALF_UP
+    says -7.3097, DuckDB's double round says -7.3096). The half-up
+    quantization floor(x·10^d + 0.5) is instead evaluated exactly on
+    integers: q = floor((S + D/2) / D) with D = 10^(scale-ndigits)·n,
+    via a positive-mod floor division in DECIMAL(38,0) so no double
+    ever carries the tie. Requires scale > ndigits (D even)."""
+    assert scale > ndigits, "dec_avg needs scale > ndigits"
     c = _c(col)
-    return F.round(
-        (F.sum(_q(c, scale)).cast("double") / F.lit(float(10**scale))) / F.count(c), ndigits
-    )
+    unit = 10 ** (scale - ndigits)
+    s = F.sum(_q(c, scale)).cast("decimal(38,0)")
+    d = (F.count(c) * F.lit(unit)).cast("decimal(38,0)")
+    num = s + (F.count(c) * F.lit(unit // 2)).cast("decimal(38,0)")
+    pm = ((num % d) + d) % d
+    q = ((num - pm) / d).cast("long")  # exact: num-pm divisible by d
+    return q.cast("double") / F.lit(float(10**ndigits))
 
 
 def sql_sum(expr: str, scale: int = 2) -> str:
@@ -71,9 +85,16 @@ def sql_sum(expr: str, scale: int = 2) -> str:
 
 
 def sql_avg(expr: str, ndigits: int = 4, scale: int = 6) -> str:
-    """DuckDB spelling of dec_avg over SQL expression `expr`."""
+    """DuckDB spelling of dec_avg over SQL expression `expr` — the same
+    integer-space half-up quantization, in HUGEINT (no double carries
+    the half-tie; see dec_avg)."""
+    assert scale > ndigits, "sql_avg needs scale > ndigits"
     p = 10**scale
+    unit = 10 ** (scale - ndigits)
+    s = f"CAST(sum(CAST(floor(({expr}) * {p}.0 + 0.5) AS BIGINT)) AS HUGEINT)"
+    d = f"(CAST({unit} AS HUGEINT) * count({expr}))"
+    num = f"({s} + CAST({unit // 2} AS HUGEINT) * count({expr}))"
+    pm = f"((({num} % {d}) + {d}) % {d})"
     return (
-        f"round((CAST(sum(CAST(floor(({expr}) * {p}.0 + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / {p}.0) / count({expr}), {ndigits})"
+        f"(CAST(({num} - {pm}) // {d} AS DOUBLE) / {10**ndigits}.0)"
     )

@@ -298,10 +298,12 @@ def unigram_logprob_scores(
     by language, not corpus), so the join broadcasts at any SF; the
     token stream itself is only shuffled once, by doc, for the final
     per-doc aggregate. ln values are quantized to 1e-6 units before
-    summing (functions/exact.py) so the per-doc mean is accumulation-
-    order independent and oracle-stable.
+    summing AND the display mean is rounded in integer space
+    (functions/exact.dec_avg) — the sf5 sweep caught a doc whose mean
+    landed on an exact 1e-4 half-tie, where Spark's round() and
+    DuckDB's disagree.
     """
-    from ..functions.exact import dec_sum
+    from ..functions.exact import dec_avg
 
     toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -313,7 +315,7 @@ def unigram_logprob_scores(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(dec_sum(F.col("__lp"), scale=6) / F.count(F.lit(1)), 4).alias("avg_logprob"),
+        dec_avg(F.col("__lp"), ndigits=4, scale=6).alias("avg_logprob"),
     )
 
 

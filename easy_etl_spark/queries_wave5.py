@@ -13,9 +13,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.exact import sql_avg
 from .operators import textops
 from .queries import register
 from .session import load_table
+
+# integer-space half-up mean (functions/exact.sql_avg): the sf5 sweep
+# caught a doc whose mean ln-prob is an exact 1e-4 half-tie, where
+# round() diverges between Spark and DuckDB
+_SQL_AVG_LP = sql_avg("ln(c * 1.0 / t)", ndigits=4, scale=6)
 
 
 def _docs(spark, sf_dir):
@@ -24,15 +30,14 @@ def _docs(spark, sf_dir):
 
 @register(
     "unigram_logprob",
-    """
+    f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
     ),
     freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
     tot AS (SELECT count(*) AS t FROM toks)
     SELECT doc_id, count(*) AS n_tokens,
-           round((CAST(sum(CAST(floor(ln(c * 1.0 / t) * 1000000.0 + 0.5) AS BIGINT))
-                       AS DOUBLE) / 1000000.0) / count(*), 4) AS avg_logprob
+           {_SQL_AVG_LP} AS avg_logprob
     FROM toks JOIN freq USING (tok) CROSS JOIN tot
     GROUP BY doc_id
     """,

@@ -246,6 +246,39 @@ def test_spill_report_run_mode_collects_task_metrics():
     assert rec["peak_execution_memory"] > 0
 
 
+def test_dec_avg_half_tie_is_engine_portable(spark, duck):
+    """The sf5 sweep caught unigram_logprob doc 658: quantized mean
+    -73096.5/1e4 — an EXACT decimal half-tie where Spark's round()
+    (HALF_UP) says -7.3097 and DuckDB's double round says -7.3096.
+    dec_avg/sql_avg now quantize the display in integer space
+    (floor(x·10^d + 0.5) evaluated on integers), so both engines must
+    produce the identical value on the exact tie."""
+    from pyspark.sql import functions as F
+
+    from easy_etl_spark.functions.exact import dec_avg, sql_avg
+
+    # two rows whose 1e-6-unit sum is -153502650 over n=21... simpler:
+    # values v with sum q(v*1e6) = -1465, n=2 -> mean*1e4 = -73.25 ->
+    # no tie; construct a real tie: S=-1050, n=1 -> S + 50 = -1000,
+    # D=100 -> q=-10 -> -0.0010? mean*1e4 = -10.5 -> floor(-10.5+.5)=-10
+    cases = [
+        ([-0.00105], -0.001),       # -10.5 -> -10 (half toward +inf)
+        ([0.00105], 0.0011),        # +10.5 -> 11
+        ([-0.00115], -0.0011),      # -11.5 -> -11
+        ([-7.30965] * 21, -7.3096), # the doc-658 shape
+        ([1.5, 2.5], 2.0),          # plain mean, no tie at 1e-4
+    ]
+    for vals, expected in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = df.agg(dec_avg("v", ndigits=4, scale=6).alias("a")).collect()[0]["a"]
+        assert got == expected, f"{vals}: spark {got} != {expected}"
+        vals_sql = " UNION ALL ".join(f"SELECT {v!r}::DOUBLE AS v" for v in vals)
+        o = duck.execute(
+            f"SELECT {sql_avg('v', ndigits=4, scale=6)} FROM ({vals_sql})"
+        ).fetchone()[0]
+        assert o == expected, f"{vals}: duckdb {o} != {expected}"
+
+
 def test_range_join_binned_keeps_null_user_group(spark, tmp_path):
     """A span group with NULL user_id must not be silently dropped now
     that probe rows are marked explicitly instead of via user_id IS NULL."""
