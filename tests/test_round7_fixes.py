@@ -92,18 +92,22 @@ def test_table_exists_requires_exact_name_not_like_pattern(spark, tmp_path_facto
 
 
 # ----------------------------------------------------------------------
-# 3. gen_sf caesar-period guard
+# 3. gen_sf copy-transform distinctness (round 10: the caesar k>26
+# refusal is gone — per-copy alphabet PERMUTATIONS have no period;
+# composition safety is pinned by tests/test_gen_sf.py. Here: k beyond
+# the old caesar limit must now WORK and keep copies pairwise distinct.
 # ----------------------------------------------------------------------
 
-def test_gen_sf_refuses_k_beyond_caesar_period(tmp_path):
+def test_gen_sf_copies_stay_distinct_past_caesar_period():
     import os
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import gen_sf
 
-    with pytest.raises(ValueError, match="26"):
-        gen_sf.scale("/root/testdata/sf0.001", str(tmp_path / "out"), 27)
+    perms = [gen_sf.copy_text_translation("sf0.1|k=30", i) for i in range(30)]
+    sigs = {repr(sorted(p.items())) if p else "id" for p in perms}
+    assert len(sigs) == 30
 
 
 # ----------------------------------------------------------------------

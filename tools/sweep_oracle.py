@@ -62,6 +62,7 @@ HEAVY = [
     "events_session_flush",  # ~1M-row multiset compare
     "range_join_binned",     # engine is linear, but the DuckDB oracle is a quadratic IEJoin
     "recursive_org_rollup",  # 755 s DuckDB-side at sf2.5
+    "jaccard_prefix_join",   # engine ~15 min at sf5; oracle is the UNFILTERED quadratic index join
 ]
 
 # Known-infeasible (oracle-side) per rung: swept only with --force via
@@ -69,8 +70,12 @@ HEAVY = [
 # (BASELINE.md round 9).
 INFEASIBLE = {
     "testdata_sf25": {"triangle_count", "dedup_embedding_cosine"},
-    "testdata_sf5": {"triangle_count", "dedup_embedding_cosine"},
-    "testdata_sf10": {"triangle_count", "dedup_embedding_cosine"},
+    # corpus_build_report's COMPOSED replay oracle needs >90 GB of
+    # DuckDB spill at sf5 (observed: filled the disk twice, round 10);
+    # every constituent stage is individually oracle-verified at sf5
+    # and the composition is anchored by the full oracle at sf2.5.
+    "testdata_sf5": {"triangle_count", "dedup_embedding_cosine", "corpus_build_report"},
+    "testdata_sf10": {"triangle_count", "dedup_embedding_cosine", "corpus_build_report"},
 }
 
 # Full-row-output queries (result cardinality ~ input cardinality):
