@@ -183,17 +183,29 @@ DETAIL_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO, "BENCH_DETAIL.json")
 )
 
-#: Host-drift control (round 10, VERDICT r9 item 1). Every section
-#: subprocess times q1_pricing_summary (warmed, fresh JVM) at its own
-#: sf_dir BEFORE the section queries and reports it as ``control_q1``.
-#: The parent re-runs a section ONCE when its control exceeds
-#: 1.5x the idle-host reference below, and stamps the payload with
-#: ``host_window: ok|degraded|unknown`` — so a degraded measurement
-#: window is distinguishable from a code regression in the artifact
-#: itself (BENCH_r09.json recorded 1.88x baseline for an engine that
-#: measured 0.95x on an idle host; the artifact could not say which).
+#: Host-drift control (round 10, VERDICT r9 item 1; bracketing added
+#: round 11 per VERDICT r10 item 1). Every section subprocess times
+#: q1_pricing_summary (warmed, fresh JVM) at its own sf_dir BEFORE the
+#: section queries (``control_q1``) and AGAIN AFTER them
+#: (``control_q1_end``) — round 10's leading-only control certified a
+#: window "ok" and then recorded sequence_packing at 2.93 s vs its
+#: 1.48 s idle truth because contention arrived MID-section. The
+#: parent re-runs a section ONCE when either control exceeds 1.5x the
+#: idle-host reference, OR the two controls disagree by >1.5x, OR a
+#: query reads >2x its cross-round BENCH history floor, and stamps the
+#: payload with ``host_window: ok|degraded|unknown`` plus any
+#: ``history_flagged`` names — so a degraded measurement window is
+#: distinguishable from a code regression in the artifact itself.
 #: References: judge idle re-run r9 (q1 0.81 s @ sf0.1) and the round-8
 #: control log (q1 1.16-1.26 s in-section; degraded windows 1.55-1.74).
+#:
+#: Protocol note (ADVICE r10): the leading control runs at the target
+#: rung before the timed queries and thus pre-warms the OS page cache
+#: with target-rung files (q1's own input is also pre-touched by the
+#: explicit lineitem count during warmup, as in every round since 8).
+#: Rounds <=9 had no target-rung control at all, so cross-round
+#: per-query comparisons should prefer rounds >=10; the artifact
+#: records this under ``control_protocol``.
 CONTROL_QUERY = "q1_pricing_summary"
 CONTROL_REF = {  # rung basename -> idle-host q1 seconds
     "sf0.1": 0.85,
@@ -201,6 +213,15 @@ CONTROL_REF = {  # rung basename -> idle-host q1 seconds
 }
 CONTROL_REF_DEFAULT = 1.25
 CONTROL_DEGRADED_FACTOR = 1.5
+#: leading vs trailing control disagreeing by more than this marks the
+#: window degraded even when both are under the absolute limit
+CONTROL_DISAGREE_FACTOR = 1.5
+#: a query reading more than this multiple of its cross-round history
+#: floor (with an absolute slack so sub-second queries don't flap)
+#: flags the section for one re-run. 1.8 not 2.0: the motivating case
+#: (r10 sequence_packing 2.93 s vs 1.48 s idle floor) is a 1.98x ratio.
+HISTORY_FLAG_FACTOR = 1.8
+HISTORY_FLAG_MIN_DELTA = 0.3  # seconds
 
 
 def control_ref_for(sf_dir: str) -> float:
@@ -260,17 +281,23 @@ def run_section(names: list[str], sf_dir: str) -> dict[str, float]:
         # the timed number measures link cost, not dim keying.
         QUERIES["link_closest_shipdate"](spark, sf_dir)
 
-    # host-drift control: one warmed q1 pass at the TARGET sf, timed the
-    # same way as the section queries, reported alongside them
-    t0 = time.perf_counter()
-    try:
-        QUERIES[CONTROL_QUERY](spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        control = round(time.perf_counter() - t0, 3)
-    except Exception:
-        control = None
-    release_caches()
+    def _control() -> float | None:
+        t0 = time.perf_counter()
+        try:
+            QUERIES[CONTROL_QUERY](spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            c = round(time.perf_counter() - t0, 3)
+        except Exception:
+            c = None
+        release_caches()
+        return c
+
+    # host-drift controls BRACKET the section: one warmed q1 pass at
+    # the TARGET sf before the timed queries and one after, timed the
+    # same way — mid-section contention shows up as the two controls
+    # disagreeing even when each window edge looks idle
+    control = _control()
 
     out: dict[str, float] = {}
     for name in names:
@@ -282,7 +309,9 @@ def run_section(names: list[str], sf_dir: str) -> dict[str, float]:
         # curation frames) are tracked; release them so one query's
         # executor storage never leaks into the next measurement
         release_caches()
-    return out, control
+
+    control_end = _control()
+    return out, control, control_end
 
 
 def _spawn(section: str, sf_dir: str) -> dict:
@@ -322,30 +351,112 @@ def _spawn(section: str, sf_dir: str) -> dict:
     return json.loads(line)
 
 
-def spawn_with_drift_guard(section: str, sf_dir: str, spawn=None) -> dict:
-    """Run a section; if its q1 control reads degraded (>1.5x the idle
-    reference), re-run ONCE and keep the better-window attempt. Both
-    attempts' controls are recorded so the artifact shows the retry
-    happened. ``spawn`` is injectable for tests."""
+def classify_window(c_start, c_end, limit: float) -> str:
+    """Bracketed-window classification (round 11): degraded when EITHER
+    control exceeds the absolute limit OR the two disagree by more than
+    CONTROL_DISAGREE_FACTOR (contention arrived or left mid-section).
+    A single available control classifies alone; none -> unknown."""
+    avail = [c for c in (c_start, c_end) if c is not None]
+    if not avail:
+        return "unknown"
+    if any(c > limit for c in avail):
+        return "degraded"
+    if len(avail) == 2:
+        lo, hi = min(avail), max(avail)
+        if lo > 0 and hi / lo > CONTROL_DISAGREE_FACTOR:
+            return "degraded"
+    return "ok"
+
+
+def load_history(paths: list[str] | None = None) -> dict[str, float]:
+    """Per-query wall-second floors across prior rounds' artifacts: the
+    min over every BENCH_r*.json v1 line and the committed
+    BENCH_DETAIL.json sections (which has per-query times for v2-v6 and
+    the sf1 rung). The min-across-rounds is the best idle-host estimate
+    we have; contaminated readings in any one round only raise, never
+    lower, a query's floor sensitivity."""
+    import glob as _glob
+
+    if paths is None:
+        paths = sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if os.path.exists(DETAIL_PATH):
+            paths.append(DETAIL_PATH)
+    floors: dict[str, float] = {}
+
+    def _take(queries: dict):
+        for name, secs in (queries or {}).items():
+            if isinstance(secs, (int, float)) and secs > 0:
+                floors[name] = min(floors.get(name, float("inf")), secs)
+
+    for path in paths:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        _take(doc.get("queries"))
+        for sec in (doc.get("sections") or {}).values():
+            if sec.get("sf_dir", "").endswith("testdata_sf1"):
+                continue  # sf1 rung times are not sf0.1 floors
+            _take(sec.get("queries"))
+    return floors
+
+
+def flag_vs_history(queries: dict, history: dict[str, float]) -> list[str]:
+    """Names whose reading exceeds HISTORY_FLAG_FACTOR x their
+    cross-round floor by at least HISTORY_FLAG_MIN_DELTA seconds."""
+    flagged = []
+    for name, secs in (queries or {}).items():
+        h = history.get(name)
+        if h is None or not isinstance(secs, (int, float)):
+            continue
+        if secs > HISTORY_FLAG_FACTOR * h and secs - h > HISTORY_FLAG_MIN_DELTA:
+            flagged.append(name)
+    return sorted(flagged)
+
+
+def spawn_with_drift_guard(
+    section: str, sf_dir: str, spawn=None, history: dict[str, float] | None = None
+) -> dict:
+    """Run a section; if its bracketing q1 controls read degraded
+    (either >1.5x the idle reference, or disagreeing by >1.5x), or any
+    query reads >2x its cross-round history floor, re-run ONCE and keep
+    the better-window attempt. Both attempts' control pairs are
+    recorded so the artifact shows the retry happened. ``spawn`` and
+    ``history`` are injectable for tests."""
     spawn = spawn or _spawn
+    history = history if history is not None else {}
     ref = control_ref_for(sf_dir)
     limit = round(ref * CONTROL_DEGRADED_FACTOR, 3)
+
+    def _asses(attempt: dict):
+        w = classify_window(
+            attempt.get("control_q1"), attempt.get("control_q1_end"), limit
+        )
+        flagged = flag_vs_history(attempt.get("queries"), history)
+        return w, flagged
+
     first = spawn(section, sf_dir)
-    c1 = first.get("control_q1")
-    attempts = [c1]
-    best = first
-    if c1 is not None and c1 > limit:
+    w1, flagged1 = _asses(first)
+    attempts = [[first.get("control_q1"), first.get("control_q1_end")]]
+    best, best_w, best_flagged = first, w1, flagged1
+    if w1 == "degraded" or flagged1:
         second = spawn(section, sf_dir)
-        c2 = second.get("control_q1")
-        attempts.append(c2)
-        if c2 is not None and c2 < c1:
-            best = second
-    c = best.get("control_q1")
+        w2, flagged2 = _asses(second)
+        attempts.append([second.get("control_q1"), second.get("control_q1_end")])
+        # prefer the ok window; among equal windows, fewer history
+        # flags, then the lower total
+        rank = {"ok": 0, "unknown": 1, "degraded": 2}
+
+        def _key(w, flagged, attempt):
+            return (rank[w], len(flagged), attempt.get("total") or float("inf"))
+
+        if _key(w2, flagged2, second) < _key(w1, flagged1, first):
+            best, best_w, best_flagged = second, w2, flagged2
     best["control_ref"] = ref
     best["control_attempts"] = attempts
-    best["host_window"] = (
-        "unknown" if c is None else ("ok" if c <= limit else "degraded")
-    )
+    best["host_window"] = best_w
+    best["history_flagged"] = best_flagged
     return best
 
 
@@ -353,25 +464,30 @@ def main() -> None:
     if "--section" in sys.argv:
         section = sys.argv[sys.argv.index("--section") + 1]
         sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
-        times, control = run_section(SECTIONS[section], sf_dir)
+        times, control, control_end = run_section(SECTIONS[section], sf_dir)
         print(json.dumps({
             "section": section,
             "sf_dir": sf_dir,
             "total": round(sum(times.values()), 3),
             "control_q1": control,
+            "control_q1_end": control_end,
             "queries": times,
         }))
         return
 
     sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
+    # history floors come from PRIOR rounds' committed artifacts — read
+    # before this run overwrites BENCH_DETAIL.json
+    history = load_history()
     results: dict[str, dict] = {}
     for section in SECTIONS:
-        results[section] = spawn_with_drift_guard(section, SF_DIR)
+        results[section] = spawn_with_drift_guard(section, SF_DIR, history=history)
 
     run_sf1 = os.path.isdir(SF1_DIR) and not os.environ.get(
         "SPARK_GRAFT_SKIP_SF1"
     )
     if run_sf1:
+        # sf0.1 floors don't apply at the sf1 rung; controls still bracket
         results["sf1"] = spawn_with_drift_guard("v1", SF1_DIR)
 
     v1 = results["v1"]
@@ -382,8 +498,17 @@ def main() -> None:
         "sf": sf,
         "isolation": "one fresh subprocess/JVM per section (round 8)",
         "drift_control": (
-            f"per-section warmed {CONTROL_QUERY} control; section re-run once "
-            f"when control > {CONTROL_DEGRADED_FACTOR}x idle ref (round 10)"
+            f"per-section warmed {CONTROL_QUERY} controls BRACKET the timed "
+            f"queries; section re-run once when either control > "
+            f"{CONTROL_DEGRADED_FACTOR}x idle ref, controls disagree > "
+            f"{CONTROL_DISAGREE_FACTOR}x, or a query > {HISTORY_FLAG_FACTOR}x "
+            f"its cross-round floor (round 11)"
+        ),
+        "control_protocol": (
+            "leading control (round 10+) pre-warms target-rung page cache "
+            "before the timed queries; trailing control added round 11. "
+            "Per-query times are protocol-comparable from round 10 on; "
+            "rounds <=9 had no target-rung control pass (ADVICE r10)."
         ),
         "sections": results,
     }
@@ -398,6 +523,9 @@ def main() -> None:
         "degraded" if "degraded" in windows
         else ("unknown" if "unknown" in windows else "ok")
     )
+    flagged = sorted(
+        {n for r in results.values() for n in r.get("history_flagged", [])}
+    )
     compact = {
         "metric": "headline_query_wall_seconds",
         "value": v1.get("total"),
@@ -405,9 +533,14 @@ def main() -> None:
         "queries": v1.get("queries", {}),
         "sf": sf,
         "control_q1": v1.get("control_q1"),
+        "control_q1_end": v1.get("control_q1_end"),
         "control_ref": v1.get("control_ref"),
         "host_window": overall_window,
-        "controls": {s: r.get("control_q1") for s, r in results.items()},
+        "history_flagged": flagged,
+        "controls": {
+            s: [r.get("control_q1"), r.get("control_q1_end")]
+            for s, r in results.items()
+        },
     }
     if "error" in v1:
         compact["error_v1"] = v1["error"]

@@ -66,8 +66,19 @@ def dec_avg(col: Column | str, ndigits: int = 4, scale: int = 6) -> Column:
     quantization floor(x·10^d + 0.5) is instead evaluated exactly on
     integers: q = floor((S + D/2) / D) with D = 10^(scale-ndigits)·n,
     via a positive-mod floor division in DECIMAL(38,0) so no double
-    ever carries the tie. Requires scale > ndigits (D even)."""
-    assert scale > ndigits, "dec_avg needs scale > ndigits"
+    ever carries the tie. Requires scale > ndigits (D even).
+
+    Tie-break convention (round 10, noted per ADVICE r10): exact
+    decimal halves round toward +inf in BOTH engines — floor(x + 0.5),
+    so -10.5 -> -10 — which differs from Spark's native HALF_UP
+    (-10.5 -> -11) on negative halves. The convention is applied
+    identically on the Spark and DuckDB sides, so published avg_*
+    values stay cross-engine consistent; they may differ by one ulp of
+    10^-ndigits from pre-round-10 artifacts on exact negative halves."""
+    if scale <= ndigits:
+        raise ValueError(
+            f"dec_avg needs scale > ndigits (got scale={scale}, ndigits={ndigits})"
+        )
     c = _c(col)
     unit = 10 ** (scale - ndigits)
     s = F.sum(_q(c, scale)).cast("decimal(38,0)")
@@ -87,8 +98,12 @@ def sql_sum(expr: str, scale: int = 2) -> str:
 def sql_avg(expr: str, ndigits: int = 4, scale: int = 6) -> str:
     """DuckDB spelling of dec_avg over SQL expression `expr` — the same
     integer-space half-up quantization, in HUGEINT (no double carries
-    the half-tie; see dec_avg)."""
-    assert scale > ndigits, "sql_avg needs scale > ndigits"
+    the half-tie; see dec_avg — including the floor(x+0.5) negative-half
+    tie-break convention note)."""
+    if scale <= ndigits:
+        raise ValueError(
+            f"sql_avg needs scale > ndigits (got scale={scale}, ndigits={ndigits})"
+        )
     p = 10**scale
     unit = 10 ** (scale - ndigits)
     s = f"CAST(sum(CAST(floor(({expr}) * {p}.0 + 0.5) AS BIGINT)) AS HUGEINT)"

@@ -145,6 +145,18 @@ class TransformPipeline:
     """
 
     def __init__(self, parent: "Any", fields: tuple[str, ...]):
+        bad = [f for f in fields if not isinstance(f, str)]
+        if bad:
+            # transform() takes FIELD NAMES; methods chain on the result
+            # (pipe.transform("a").lower()). Passing a callable here is
+            # a likely misread of the API — without this check it would
+            # be swallowed as a field name and every later chained call
+            # (including .load()) staged as a fake string method.
+            raise TypeError(
+                f"transform() fields must be column-name strings, got "
+                f"{bad!r}; chain methods on the returned pipeline, e.g. "
+                f'.transform("col").lower()'
+            )
         self._parent = parent
         self._fields = fields
 

@@ -101,9 +101,11 @@ def test_env_owned_oracle_tmp_survives_clean_exit():
 
 
 def test_bench_drift_guard_retries_once_and_labels_window(monkeypatch):
-    """bench.py's host-drift guard: a degraded q1 control triggers exactly
-    one section re-run; the better attempt wins; the window label and both
-    attempts land in the payload (VERDICT r9 item 1)."""
+    """bench.py's host-drift guard (round 11: controls BRACKET the
+    section): a degraded control pair — either control over the limit,
+    or leading/trailing disagreeing >1.5x — triggers exactly one section
+    re-run; the better attempt wins; the window label and both attempts'
+    control pairs land in the payload (VERDICT r9 item 1 + r10 item 1)."""
     import bench
 
     calls = []
@@ -112,37 +114,151 @@ def test_bench_drift_guard_retries_once_and_labels_window(monkeypatch):
         it = iter(controls)
 
         def spawn(section, sf_dir):
-            c = next(it)
+            c_start, c_end = next(it)
             calls.append(section)
-            return {"section": section, "control_q1": c, "total": 10.0 + (c or 0)}
+            return {
+                "section": section,
+                "control_q1": c_start,
+                "control_q1_end": c_end,
+                "total": 10.0 + (c_start or 0),
+                "queries": {"q1_pricing_summary": c_start or 0},
+            }
 
         return spawn
 
     monkeypatch.setenv("SPARK_GRAFT_CONTROL_REF", "1.0")
 
-    # ok window: no retry
+    # ok window (both controls under limit, agreeing): no retry
     calls.clear()
-    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([1.2]))
+    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([(1.2, 1.1)]))
     assert r["host_window"] == "ok" and len(calls) == 1
-    assert r["control_attempts"] == [1.2] and r["control_ref"] == 1.0
+    assert r["control_attempts"] == [[1.2, 1.1]] and r["control_ref"] == 1.0
 
     # degraded then ok: one retry, second attempt kept, labeled ok
     calls.clear()
-    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([2.0, 0.9]))
+    r = bench.spawn_with_drift_guard(
+        "v1", "/x", spawn=fake_spawn([(2.0, 0.9), (0.9, 1.0)])
+    )
     assert len(calls) == 2
     assert r["control_q1"] == 0.9 and r["host_window"] == "ok"
-    assert r["control_attempts"] == [2.0, 0.9]
+    assert r["control_attempts"] == [[2.0, 0.9], [0.9, 1.0]]
+
+    # NEW round 11: leading control ok but TRAILING control degraded
+    # (contention arrived mid-section — the r10 sequence_packing case):
+    # must retry even though the leading control alone looked fine
+    calls.clear()
+    r = bench.spawn_with_drift_guard(
+        "v1", "/x", spawn=fake_spawn([(0.9, 2.4), (1.0, 1.1)])
+    )
+    assert len(calls) == 2 and r["host_window"] == "ok"
+    assert r["control_attempts"] == [[0.9, 2.4], [1.0, 1.1]]
+
+    # NEW round 11: both controls under the absolute limit but
+    # disagreeing >1.5x -> degraded, retried
+    calls.clear()
+    r = bench.spawn_with_drift_guard(
+        "v1", "/x", spawn=fake_spawn([(0.8, 1.4), (1.0, 1.0)])
+    )
+    assert len(calls) == 2 and r["host_window"] == "ok"
 
     # degraded twice: only ONE retry, labeled degraded honestly
     calls.clear()
-    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([2.0, 1.8]))
+    r = bench.spawn_with_drift_guard(
+        "v1", "/x", spawn=fake_spawn([(2.0, 2.0), (1.8, 1.9)])
+    )
     assert len(calls) == 2 and r["host_window"] == "degraded"
     assert r["control_q1"] == 1.8
 
     # control missing (section error): unknown, no retry
     calls.clear()
-    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([None]))
+    r = bench.spawn_with_drift_guard("v1", "/x", spawn=fake_spawn([(None, None)]))
     assert len(calls) == 1 and r["host_window"] == "unknown"
+
+
+def test_bench_history_flags_inflated_queries(monkeypatch):
+    """Round 11: a query reading >2x its cross-round floor inside an
+    ok-labeled window (the exact r10 sequence_packing failure: 2.93 s
+    recorded vs 1.48 s idle truth, window 'ok') triggers one re-run and
+    the flag is recorded in the payload either way."""
+    import bench
+
+    history = {"sequence_packing": 1.48, "q1_pricing_summary": 0.85}
+
+    calls = []
+
+    def fake_spawn(payloads):
+        it = iter(payloads)
+
+        def spawn(section, sf_dir):
+            calls.append(section)
+            return dict(next(it))
+
+        return spawn
+
+    monkeypatch.setenv("SPARK_GRAFT_CONTROL_REF", "1.0")
+    good = {
+        "control_q1": 0.9,
+        "control_q1_end": 0.95,
+        "total": 2.4,
+        "queries": {"sequence_packing": 1.5, "q1_pricing_summary": 0.9},
+    }
+    bad = {
+        "control_q1": 0.9,
+        "control_q1_end": 0.95,
+        "total": 3.9,
+        "queries": {"sequence_packing": 2.93, "q1_pricing_summary": 0.9},
+    }
+
+    # inflated query in an ok window: retried once, clean attempt wins
+    r = bench.spawn_with_drift_guard(
+        "v1", "/x", spawn=fake_spawn([bad, good]), history=history
+    )
+    assert len(calls) == 2
+    assert r["history_flagged"] == [] and r["queries"]["sequence_packing"] == 1.5
+
+    # inflated in BOTH attempts: flag survives into the payload so the
+    # artifact self-labels instead of recording a silent 2x reading
+    calls.clear()
+    r = bench.spawn_with_drift_guard(
+        "v1", "/x", spawn=fake_spawn([bad, dict(bad)]), history=history
+    )
+    assert len(calls) == 2
+    assert r["history_flagged"] == ["sequence_packing"]
+
+    # clean run: no retry, no flags
+    calls.clear()
+    r = bench.spawn_with_drift_guard(
+        "v1", "/x", spawn=fake_spawn([good]), history=history
+    )
+    assert len(calls) == 1 and r["history_flagged"] == []
+
+
+def test_bench_load_history_takes_min_across_rounds(tmp_path):
+    """load_history floors = min across artifacts; sf1-rung sections are
+    excluded (their times are not sf0.1 floors)."""
+    import json as _json
+
+    import bench
+
+    a = tmp_path / "BENCH_r01.json"
+    a.write_text(_json.dumps({"queries": {"q1": 2.64, "knn_ivf": 2.68}}))
+    b = tmp_path / "BENCH_DETAIL.json"
+    b.write_text(
+        _json.dumps(
+            {
+                "sections": {
+                    "v1": {"sf_dir": "/x/sf0.1", "queries": {"q1": 0.85, "knn_ivf": 2.9}},
+                    "sf1": {
+                        "sf_dir": "/x/testdata_sf1",
+                        "queries": {"q1": 0.1},  # must NOT lower the floor
+                    },
+                }
+            }
+        )
+    )
+    floors = bench.load_history([str(a), str(b)])
+    assert floors["q1"] == 0.85
+    assert floors["knn_ivf"] == 2.68
 
 
 def test_chaos_retry_hash_identical_under_task_failures():

@@ -117,12 +117,30 @@ def run_one(sf_dir: str, name: str) -> dict:
     wall = round(time.time() - t0, 1)
     release_caches()
     spark.stop()
-    logs = [p for p in glob.glob(os.path.join(log_dir, "*")) if not p.endswith(".inprogress")]
+    def _finalized():
+        return [
+            p
+            for p in glob.glob(os.path.join(log_dir, "*"))
+            if not p.endswith(".inprogress")
+        ]
+
+    logs = _finalized()
     if not logs:  # stop() should finalize; tolerate the rename racing
         time.sleep(2)
+        logs = _finalized()
+    truncated = False
+    if not logs:
+        # only an in-progress log exists: parse it but mark the record
+        # loudly — its metrics undercount (the log is still being
+        # written) and a gate must not treat them as a full measurement
         logs = glob.glob(os.path.join(log_dir, "*"))
+        truncated = True
+        if not logs:
+            raise RuntimeError(f"no event log produced in {log_dir}")
     out = parse_event_log(sorted(logs)[-1])
     out.update({"query": name, "sf_dir": sf_dir, "wall_secs": wall})
+    if truncated:
+        out["error"] = "event log never finalized; metrics parsed from .inprogress (undercount)"
     import shutil
 
     shutil.rmtree(log_dir, ignore_errors=True)
@@ -156,8 +174,15 @@ def sweep(sf_dir: str, names: list[str], out_path: str, cpus: int) -> int:
     return 1 if bad else 0
 
 
-#: spill smaller than this is measurement noise, not a regression
+#: spill smaller than this is measurement noise, not a regression.
+#: Applies ONLY to the spill metrics — shuffle bytes are deterministic
+#: plan output, not noise, so a superlinear shuffle-growth regression
+#: must fail the gate even when it stays under 1 GiB at the big rung
+#: (ADVICE r10: the shared 1 GiB floor silently passed small-rung
+#: shuffle regressions). Shuffle gets a small floor that only masks
+#: empty/near-empty shuffles (broadcast-only plans).
 SPILL_FLOOR = 1 << 30  # 1 GiB
+SHUFFLE_FLOOR = 16 << 20  # 16 MiB
 
 
 def gate(small_path: str, big_path: str, ratio: float, slack: float) -> int:
@@ -171,8 +196,9 @@ def gate(small_path: str, big_path: str, ratio: float, slack: float) -> int:
         limit = ratio * slack
         for metric in ("shuffle_write_bytes", "memory_bytes_spilled", "disk_bytes_spilled"):
             sv, bv = s.get(metric, 0), b.get(metric, 0)
-            if bv <= SPILL_FLOOR:
-                continue  # absolute noise floor
+            floor = SHUFFLE_FLOOR if metric == "shuffle_write_bytes" else SPILL_FLOOR
+            if bv <= floor:
+                continue  # absolute noise floor (per-metric, see above)
             if sv == 0:
                 failures.append(
                     f"{name}.{metric}: 0 -> {bv/2**30:.2f} GiB (appeared from nothing)"
