@@ -62,6 +62,9 @@ def _connect(memory_limit: str | None, tmp: str):
     con.execute(f"PRAGMA temp_directory='{tmp}'")
     if memory_limit:
         con.execute(f"PRAGMA memory_limit='{memory_limit}'")
+    threads = os.environ.get("CORPUS_ORACLE_THREADS")
+    if threads:
+        con.execute(f"PRAGMA threads={int(threads)}")
     return con
 
 
