@@ -250,7 +250,7 @@ def run_section(names: list[str], sf_dir: str) -> dict[str, float]:
     """Build a fresh session, warm up THIS section's queries at
     sf0.001, then time each query end-to-end at sf_dir."""
     from easy_etl_spark.queries import QUERIES
-    from easy_etl_spark.session import get_spark, release_caches
+    from easy_etl_spark.session import get_spark, reclaim_blocks, release_caches
 
     spark = get_spark("easy-etl-spark-bench")
     # Warmup: run each of this section's queries once at the smallest
@@ -306,9 +306,12 @@ def run_section(names: list[str], sf_dir: str) -> dict[str, float]:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         out[name] = round(time.perf_counter() - t0, 3)
         # operator-internal caches (vocab counts, adjacency lists,
-        # curation frames) are tracked; release them so one query's
-        # executor storage never leaks into the next measurement
+        # curation frames) are tracked; release them — and reclaim
+        # dead checkpoint blocks (round 11) — so one query's executor
+        # storage never leaks into the next measurement. Both run
+        # OUTSIDE the timed window.
         release_caches()
+        reclaim_blocks(spark)
 
     control_end = _control()
     return out, control, control_end

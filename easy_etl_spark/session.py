@@ -275,6 +275,34 @@ def pin_frame(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def reclaim_blocks(spark: SparkSession | None = None) -> None:
+    """Promptly reclaim storage blocks of DEAD checkpointed frames.
+
+    pin_frame()/localCheckpoint blocks are not in the unpersist
+    registry — they are reclaimed by Spark's ContextCleaner only after
+    BOTH the Python wrapper and its py4j JVM reference are garbage
+    collected, which CPython defers arbitrarily long. In a long-lived
+    session running many queries (bench sections, oracle sweeps) the
+    dead blocks pile up in executor storage and degrade later queries
+    by 2-4x (round-11 measurement: repeated lpa_communities runs went
+    11s -> 34s; triangle_count 5s -> 22s; stable after reclaim).
+    Calling this BETWEEN queries — never inside a timed region — runs
+    a Python collection to drop the py4j refs, then asks the JVM for a
+    GC pass so the ContextCleaner's weak references fire now. Safe at
+    any time: only frames with no live Python reference are affected,
+    and live pins/caches are untouched."""
+    import gc
+
+    gc.collect()
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
+
 def cache_mark() -> frozenset:
     """Identity snapshot of the entries the CURRENT THREAD has tracked
     so far. Pass it to release_caches(since=...) to release only the

@@ -26,6 +26,7 @@ from easy_etl_spark.session import (
     TABLES,
     get_spark,
     register_views,
+    reclaim_blocks,
     release_caches,
     table_path,
 )
@@ -175,6 +176,7 @@ def main():
                 ok = False
             finally:
                 release_caches()
+                reclaim_blocks(spark)
             if not ok:
                 failures.append(name)
             continue
@@ -191,6 +193,7 @@ def main():
             continue
         finally:
             release_caches()  # operator-internal caches: no cross-query leak
+            reclaim_blocks(spark)
         oracle = oracles.get(name)
         if oracle is None:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")

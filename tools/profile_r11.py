@@ -39,7 +39,7 @@ def main() -> None:
     from bench import SECTIONS, _prime_ivf
     from easy_etl_spark.plans.explain import plan_facts
     from easy_etl_spark.queries import QUERIES
-    from easy_etl_spark.session import get_spark, release_caches
+    from easy_etl_spark.session import get_spark, reclaim_blocks, release_caches
 
     names = list(args.names)
     for sec in args.section:
@@ -73,6 +73,7 @@ def main() -> None:
             fn(spark, args.sf_dir).write.mode("overwrite").format("noop").save()
             walls.append(round(time.perf_counter() - t0, 3))
             release_caches()
+            reclaim_blocks(spark)
         spark.sparkContext.setJobDescription(None)
         facts = plan_facts(fn(spark, args.sf_dir))
         release_caches()
