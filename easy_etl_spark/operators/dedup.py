@@ -84,6 +84,35 @@ def _shingle_index(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataF
     )
 
 
+def _pair_intersections(idx: DataFrame) -> DataFrame:
+    """(id_a, id_b, __inter) shared-shingle counts from a (__id, __sh)
+    inverted index, id_a < id_b. Round 11 (guide §2.3/§2.4): the index
+    self-join on the shingle key became ONE aggregation — group each
+    shingle's sorted doc-id list and expand the (a < b) pairs IN-ROW
+    (the basket-pairs trick from queries_wave10), so the index is
+    shuffled once instead of twice and pair rows are born inside the
+    task that owns the shingle, partially aggregated before the only
+    pair-keyed exchange. Pair count (and hot-shingle skew) is
+    identical to the join form — a stop-shingle shared by S docs still
+    costs S²/2 — only the number of exchanges changes."""
+    return (
+        idx.groupBy("__sh")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    "  struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -91,21 +120,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold, via inverted-
-    index self-join (pairs only materialize for docs sharing ≥1
-    shingle). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """All pairs with shingle-set Jaccard ≥ threshold, via inverted
+    index (pairs only materialize for docs sharing ≥1 shingle).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    The shingle index feeds THREE consumers (both self-join sides and
-    the per-doc sizes) — tracked-cached so the tokenize+explode+distinct
-    work runs once, not three times (release via session.release_caches)."""
+    Round 11: the index self-join became the in-row pair expansion of
+    _pair_intersections (one index exchange instead of two). The index
+    feeds two consumers (pair groups + per-doc sizes) — tracked-cached
+    so tokenize+explode runs once (release via
+    session.release_caches)."""
     idx = track_cache(_shingle_index(docs, text_col, id_col, k))
     sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a, b = idx.alias("a"), idx.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    inter = _pair_intersections(idx)
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     return (
@@ -177,16 +203,12 @@ def containment_pairs(
     asymmetric near-superset relation (quotes, excerpts, boilerplate
     wrappers) that symmetric Jaccard under-scores: a 50-shingle doc
     fully quoted inside a 5000-shingle doc has Jaccard ≈ 0.01 but
-    containment 1.0. Same inverted-index self-join shape (and 100 TB
-    posture) as ngram_jaccard_pairs; only the denominator differs."""
-    idx = _shingle_index(docs, text_col, id_col, k)
+    containment 1.0. Same inverted-index shape (and 100 TB posture) as
+    ngram_jaccard_pairs, including the round-11 in-row pair expansion
+    (_pair_intersections); only the denominator differs."""
+    idx = track_cache(_shingle_index(docs, text_col, id_col, k))
     sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a, b = idx.alias("a"), idx.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    inter = _pair_intersections(idx)
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     return (
@@ -328,20 +350,38 @@ def duplicate_clusters(
     Scale design: each iteration is one shuffle (join on node +
     min-aggregate); iterations needed = component diameter, and
     near-dup clusters are small and dense (diameter 1-3 in practice),
-    so the loop converges in a handful of rounds. `localCheckpoint`
-    truncates the growing lineage each round — without it the plan
-    doubles per iteration. Convergence is detected exactly (count of
-    changed labels), so the `max_iter` cap is a safety valve, not a
+    so the loop converges in a handful of rounds. Round 11 (guide
+    §1.2/§2.4): per-round cost fell from two jobs (eager
+    localCheckpoint materialize + comparison-join count) to ONE —
+    min-label propagation is monotone (every new label =
+    min(old, neighbor labels) <= old), so the exact DECIMAL(38,0) sum
+    of labels strictly decreases iff any label changed, and the agg
+    that materializes each round's LAZY localCheckpoint doubles as the
+    convergence probe: no comparison join, no separate materialize
+    job. localCheckpoint (not persist) is load-bearing for plan size —
+    each round's plan nests its parent's, so caching alone grows the
+    logical plan exponentially with rounds (measured: corpus's 4-round
+    loop hit 84k Exchange nodes and 4x wall in pure planning);
+    truncation keeps every round's plan constant-size. Convergence is
+    still exact, so the `max_iter` cap is a safety valve, not a
     correctness knob. For adversarial billion-edge graphs swap in
-    hash-to-min (O(log n) rounds); for training-data dedup this is
-    the right simple tool.
+    hash-to-min (O(log n) rounds); for training-data dedup this is the
+    right simple tool.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.unionByName(rev).distinct().persist()
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # exact label-sum (doc ids can be ~1e10 over ~1e9 nodes: a long sum
+    # could overflow, DECIMAL(38,0) cannot); the single .first() action
+    # both materializes the lazy checkpoint and reads the signature
+    def _sig(df: DataFrame):
+        r = df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()
+        return r["s"]
+
+    prev_sum = _sig(labels)
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
@@ -349,17 +389,16 @@ def duplicate_clusters(
         )
         new_labels = (
             labels.unionByName(neigh).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        ).localCheckpoint(eager=False)
+        new_sum = _sig(new_labels)  # one job: materializes + sums
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
+    # superseded rounds' checkpoint blocks are reclaimed by the
+    # ContextCleaner once Python drops the refs (session.reclaim_blocks
+    # makes that prompt between queries)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

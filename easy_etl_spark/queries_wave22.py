@@ -127,14 +127,20 @@ def corpus_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joins/semi-joins between stages."""
     docs = load_table(spark, sf_dir, "documents")
     ntok = F.size(tokens(F.col("text"))).cast("bigint")
+    # Round 11 (guide §1.2: don't recompute what you already have):
+    # the three id-census rows each re-tokenized their doc subset —
+    # tokenize ONCE into a tiny cached (doc_id, n_tok) frame and make
+    # every census an aggregate over id joins against it. Same tokens()
+    # expression, so the sums are bit-identical.
+    meta = track_cache(docs.select("doc_id", ntok.alias("__n_tok")))
 
-    def census(ids: DataFrame, ord_: int, name: str) -> DataFrame:
-        joined = docs.join(ids.select("doc_id"), "doc_id")
+    def census(ids: DataFrame | None, ord_: int, name: str) -> DataFrame:
+        joined = meta if ids is None else meta.join(ids.select("doc_id"), "doc_id")
         return joined.agg(
             F.lit(ord_).cast("bigint").alias("stage_ord"),
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(ntok).alias("n_tokens"),
+            F.sum("__n_tok").alias("n_tokens"),
         )
 
     # each stage feeds BOTH its census row and the next stage — persist
@@ -166,7 +172,7 @@ def corpus_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("n_tokens"),
     )
     return (
-        census(docs, 1, "raw")
+        census(None, 1, "raw")
         .unionAll(census(curated, 2, "curated"))
         .unionAll(census(decon, 3, "decontaminated"))
         .unionAll(capped_census)
