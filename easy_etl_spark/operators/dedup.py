@@ -305,11 +305,24 @@ def minhash_lsh_pairs(
     buckets = sigs.select(F.col(id_col).alias("__id"), F.explode(band_cols).alias("b")).select(
         "__id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    l, r = buckets.alias("l"), buckets.alias("r")
+    # Round 11 (guide §2.3/§2.4): bucket pairs by in-row expansion of
+    # each bucket's sorted member list (the _pair_intersections trick)
+    # — ONE exchange of the docs×bands bucket stream instead of the
+    # two a self-join on (band, bh) pays, same (id_a < id_b) pairs.
     cand = (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
-               & (F.col("l.__id") < F.col("r.__id")))
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        buckets.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    "  struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # verify candidates with exact shingle Jaccard, computed only for

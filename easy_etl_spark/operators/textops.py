@@ -494,15 +494,24 @@ def gram_novelty(
     corpus-vs-itself). Returns (doc_id, n_grams, n_shared,
     novelty_ratio) with novelty = 1 - shared/total, 4-dp rounded.
 
-    Scale shape: explode distinct (doc, gram) pairs once; gram
-    document-frequency is one map-side-combined count keyed by gram;
-    the join back to pairs is co-partitioned on gram (both sides just
-    shuffled by it); final per-doc aggregate is the only other
-    shuffle. No broadcast of corpus-sized state, no all-pairs join.
-    The explode fans out ~|doc| grams per row, so the input is first
-    spread across cores (scan partitioning is sized by PRE-explode
-    bytes — a compact parquet file otherwise serializes the tokenize +
-    explode on a couple of tasks; measured 18.7 s → 8.9 s at sf1)."""
+    Scale shape (round 11, guide §2.3/§2.4): the only corpus-sized
+    exchange left is the map-side-combined groupBy(gram). Per-doc
+    distinct grams dedup IN-ROW (array_distinct — no (doc,gram)
+    distinct shuffle), per-doc totals are a map-side-combined count
+    keyed by doc (doc-count-sized shuffle bytes), and instead of
+    joining document-frequency back onto the full pair stream,
+    n_shared is derived by complement: a gram with df == 1 has exactly
+    one owner, recoverable as min(doc_id) INSIDE the same gram
+    aggregate, so n_shared = n_grams − n_unique where n_unique counts
+    the doc's df==1 grams. vs the round-8 shape (distinct → groupBy g
+    → join back → groupBy doc) this removes BOTH full-stream
+    exchanges (the distinct and the join re-shuffle); the cost is the
+    tokenize running once per branch — pure in-task CPU, no network.
+    No broadcast of corpus-sized state, no all-pairs join. The explode
+    fans out ~|doc| grams per row, so the input is first spread across
+    cores (scan partitioning is sized by PRE-explode bytes — a compact
+    parquet file otherwise serializes the tokenize + explode on a
+    couple of tasks; measured 18.7 s → 8.9 s at sf1)."""
     from .scale import ensure_min_partitions
 
     t = tokens(F.col(text_col))
@@ -510,18 +519,26 @@ def gram_novelty(
         F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(t, i, n), " "),
     )
-    pairs = (
-        ensure_min_partitions(docs.select(id_col, text_col))
-        .select(id_col, F.explode(grams_arr).alias("g"))
-        .distinct()
+    # the repartition exchange is shared by both branches (ReuseExchange),
+    # so the parquet scan runs once; only the in-row tokenize repeats
+    spread = ensure_min_partitions(docs.select(id_col, text_col))
+    pairs = spread.select(id_col, F.explode(F.array_distinct(grams_arr)).alias("g"))
+    totals = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    uniq = (
+        pairs.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"), F.min(id_col).alias("__owner"))
+        .filter(F.col("__df") == 1)
+        .groupBy(F.col("__owner").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("__n_unique"))
     )
-    df_counts = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     return (
-        pairs.join(df_counts, "g")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("__df") > 1).cast("bigint")).alias("n_shared"),
+        totals.join(uniq, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            (F.col("n_grams") - F.coalesce(F.col("__n_unique"), F.lit(0))).alias(
+                "n_shared"
+            ),
         )
         .select(
             id_col,
