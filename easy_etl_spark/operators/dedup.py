@@ -975,13 +975,32 @@ def cdc_chunk_dedup(
             ).alias("fp")
         )
     )
-    occ = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("__occ"))
+    # Round 11 (guide §2.3/§2.4, the gram_novelty complement): a
+    # fingerprint with corpus-wide occurrence 1 has exactly one owning
+    # chunk, recoverable as min(doc_id) INSIDE the fp aggregate, so
+    # dup_chunks = n_chunks − (#occ==1 fps owned) and the md5-string
+    # chunk stream crosses ONE map-side-combined exchange instead of
+    # also being re-shuffled through the occurrence join-back. The
+    # chunk frame feeds both aggregates — tracked-cached so the
+    # rolling-hash + md5 assembly runs once, not per consumer
+    # (released by the caller's release_caches).
+    chunks = track_cache(chunks)
+    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    uniq = (
+        chunks.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__occ"), F.min(id_col).alias("__owner"))
+        .filter(F.col("__occ") == 1)
+        .groupBy(F.col("__owner").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("__n_unique"))
+    )
     return (
-        chunks.join(occ, "fp")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("__occ") > 1).cast("bigint")).alias("dup_chunks"),
+        totals.join(uniq, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            (
+                F.col("n_chunks") - F.coalesce(F.col("__n_unique"), F.lit(0))
+            ).alias("dup_chunks"),
         )
         .select(
             id_col,

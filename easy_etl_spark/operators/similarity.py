@@ -1123,8 +1123,15 @@ def int_k_center_select(
     running least() of distances to the (driver-held, k-bounded)
     selected centers; no pairwise materialization, no global sort.
     Rounds are iteration-bounded by k, not data — the same posture as
-    the BPE merge loop."""
-    corpus = emb.select(F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q"))
+    the BPE merge loop. The quantized corpus rides track_cache (round
+    11, guide §5): the k TakeOrdered rounds otherwise each re-read the
+    parquet and re-quantize — k scans of the raw bytes for one scan's
+    worth of information (released by the caller's release_caches)."""
+    from ..session import track_cache
+
+    corpus = track_cache(
+        emb.select(F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q"))
+    )
     first = corpus.orderBy("__id").limit(1).collect()[0]
     sel = [(0, int(first["__id"]), 0)]
     cvec = list(first["__q"])

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .queries import register
-from .session import load_table
+from .session import load_table, track_cache
 
 
 @register(
@@ -53,8 +53,13 @@ def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine materializes level by level exactly like the hand-written
     Pregel loops (graph.bfs_hops) but plans/reuses it internally;
     depth is log2(|customers|), so ~30 levels even at billions of
-    rows."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    rows. The customer dim rides track_cache (round 11, guide §5):
+    every recursion level hash-joins against it, so without the cache
+    a depth-d tree re-reads and re-decodes the parquet d times —
+    released by the caller's release_caches."""
+    track_cache(load_table(spark, sf_dir, "customer")).createOrReplaceTempView(
+        "customer"
+    )
     return spark.sql(
         """
         WITH RECURSIVE org AS (

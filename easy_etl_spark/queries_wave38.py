@@ -494,15 +494,31 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_values"),
         *[F.sum(f"rs_{c}").alias(f"runs_{c}") for c in ENC_COLS],
         *[F.sum(F.octet_length(f"v_{c}")).alias(f"pb_{c}") for c in ENC_COLS],
-        *[F.countDistinct(f"v_{c}").alias(f"ndv_{c}") for c in ENC_COLS],
     )
-    for c in ENC_COLS:
-        db = (
-            t.select(F.col(f"v_{c}").alias("v"))
-            .distinct()
-            .agg(F.sum(F.octet_length("v")).alias(f"db_{c}"))
-        )
-        a = a.crossJoin(F.broadcast(db))
+    # Round 11 (guide §1.2/§2.3): ndv + dictionary bytes for all four
+    # columns come from ONE exploded-pairs distinct pass — the previous
+    # shape paid four extra lineitem scans (one distinct+sum per
+    # column) AND a 5x Expand on the window output (4-way
+    # countDistinct in the main aggregate). count("v")/sum skip nulls,
+    # matching countDistinct's non-null semantics.
+    cols = list(ENC_COLS)
+    pairs = t.select(
+        F.posexplode(F.array(*[F.col(f"v_{c}") for c in cols])).alias("i", "v")
+    ).distinct()
+    dstats = pairs.groupBy("i").agg(
+        F.count("v").alias("ndv"), F.sum(F.octet_length("v")).alias("db")
+    )
+    wide = dstats.agg(
+        *[
+            F.max(F.when(F.col("i") == idx, F.col("ndv"))).alias(f"ndv_{c}")
+            for idx, c in enumerate(cols)
+        ],
+        *[
+            F.max(F.when(F.col("i") == idx, F.col("db"))).alias(f"db_{c}")
+            for idx, c in enumerate(cols)
+        ],
+    )
+    a = a.crossJoin(F.broadcast(wide))
     rows = []
     for c in ENC_COLS:
         bits = _ceil_log2_sql(f"ndv_{c}")
