@@ -133,27 +133,53 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's generated data every count must be 0; on a real lake
     nonzero rows name exactly which feed broke integrity.
 
-    Scale: each edge is one LEFT ANTI join (Catalyst broadcasts the
-    dim-side key column when small, shuffles otherwise) plus one
-    count — the parent side is always projected to its single key
-    column before the join, so even a fact-fact edge ships keys, not
-    rows. The generator of edges is the static FK catalog, not data."""
+    Scale: each edge is ONE pass over the child (round 11, guide
+    §1.2/§2.3): the child pre-aggregates to (fk, multiplicity) — a
+    map-side-combined count whose shuffle is DISTINCT-FK-sized, not
+    row-sized — then LEFT-joins the parent's distinct key column
+    (distinct keeps NOT-EXISTS semantics even if a parent key were
+    duplicated) and one aggregate weights rows, null FKs and orphans
+    by multiplicity. The previous shape paid a second child scan +
+    aggregate per edge for the row/null counts and shipped child ROWS
+    into the anti-join. Even a fact-fact edge now joins two key-count
+    frames. The generator of edges is the static FK catalog, not
+    data."""
     out = None
     for child, fk, parent, pk in FK_EDGES:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
-        nonnull = c.where(F.col(fk).isNotNull())
-        orphans = nonnull.join(
-            p, nonnull[fk] == p["__pk"], "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        stats = c.agg(
-            F.count(F.lit(1)).alias("n_child_rows"),
-            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_null_fk"),
+        c = (
+            load_table(spark, sf_dir, child)
+            .groupBy(fk)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("__pk"))
+            .distinct()
         )
         row = (
-            stats.crossJoin(F.broadcast(orphans))
+            c.join(p, c[fk] == p["__pk"], "left")
+            .agg(
+                F.coalesce(F.sum("__cnt"), F.lit(0))
+                .cast("bigint")
+                .alias("n_child_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(fk).isNotNull() & F.col("__pk").isNull(),
+                            F.col("__cnt"),
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
+                F.coalesce(
+                    F.sum(F.when(F.col(fk).isNull(), F.col("__cnt")).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_null_fk"),
+            )
             .select(
                 F.lit(f"{child}.{fk}").alias("fk_edge"),
                 F.lit(f"{parent}.{pk}").alias("references_pk"),
