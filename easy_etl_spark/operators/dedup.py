@@ -84,6 +84,23 @@ def _shingle_index(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataF
     )
 
 
+def _inrow_shingle_sizes(
+    docs: DataFrame, text_col: str, id_col: str, k: int, id_out: str, n_out: str
+) -> DataFrame:
+    """(id, |shingle set|) per doc WITHOUT building the inverted index:
+    array_shingles is distinct in-row, so the set size is one size()
+    in the scan projection — no explode, no groupBy(doc) aggregate
+    (round 11, guide §1.2/§2.3). Identical to counting index rows:
+    the index explodes exactly this array."""
+    return (
+        docs.withColumn("__t", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col).alias(id_out),
+            F.size(array_shingles(F.col("__t"), k)).alias(n_out),
+        )
+    )
+
+
 def _pair_intersections(idx: DataFrame) -> DataFrame:
     """(id_a, id_b, __inter) shared-shingle counts from a (__id, __sh)
     inverted index, id_a < id_b. Round 11 (guide §2.3/§2.4): the index
@@ -165,6 +182,16 @@ def incremental_jaccard_dups(
     the base on the shingle key — cost is proportional to the batch,
     not the corpus, and never new×new or base×base. Returns
     (new_id, base_id, jaccard).
+
+    Round 11 (guide §1.2/§2.3): shingles are distinct IN-ROW
+    (array_shingles), so each doc's set size is size(array_shingles)
+    computed straight off the docs frame — no explode, no groupBy(doc)
+    aggregate, no second tokenize pass per side (the old size branches
+    re-built both indexes: 8 scans total, now 4). The pair aggregate
+    stays a SKINNY count over the intersection stream — carrying the
+    sizes through that hot aggregate as min() columns was measured 2x
+    SLOWER at sf0.1 (wider hash-map rows on the biggest stream in the
+    query), so the sizes join back after it instead.
     """
     bi = _shingle_index(base, text_col, id_col, k).select(
         F.col("__id").alias("__bid"), F.col("__sh").alias("__sh")
@@ -172,8 +199,8 @@ def incremental_jaccard_dups(
     ni = _shingle_index(new, text_col, id_col, k).select(
         F.col("__id").alias("__nid"), F.col("__sh").alias("__sh")
     )
-    b_sizes = bi.groupBy("__bid").agg(F.count(F.lit(1)).alias("__nb"))
-    n_sizes = ni.groupBy("__nid").agg(F.count(F.lit(1)).alias("__nn"))
+    b_sizes = _inrow_shingle_sizes(base, text_col, id_col, k, "base_id", "__nb")
+    n_sizes = _inrow_shingle_sizes(new, text_col, id_col, k, "new_id", "__nn")
     inter = (
         ni.join(bi, "__sh")
         .groupBy(F.col("__nid").alias("new_id"), F.col("__bid").alias("base_id"))
@@ -183,8 +210,8 @@ def incremental_jaccard_dups(
         F.col("__inter") / (F.col("__nn") + F.col("__nb") - F.col("__inter")), 4
     )
     return (
-        inter.join(n_sizes.withColumnRenamed("__nid", "new_id"), "new_id")
-        .join(b_sizes.withColumnRenamed("__bid", "base_id"), "base_id")
+        inter.join(n_sizes, "new_id")
+        .join(b_sizes, "base_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "base_id", "jaccard")
@@ -758,11 +785,16 @@ def incremental_dups_against_index(
     bi = base_index.select(
         F.col("doc_id").alias("__bid"), F.col("shingle").alias("__sh")
     )
+    # the batch side's sizes come in-row off the docs frame (round 11,
+    # same shape as incremental_jaccard_dups — no index rebuild); the
+    # base side is a stored (doc_id, shingle) index, so its sizes
+    # still need one aggregate, but over the index read, not a
+    # tokenize pass
     ni = _shingle_index(new, text_col, id_col, k).select(
         F.col("__id").alias("__nid"), F.col("__sh").alias("__sh")
     )
+    n_sizes = _inrow_shingle_sizes(new, text_col, id_col, k, "new_id", "__nn")
     b_sizes = bi.groupBy("__bid").agg(F.count(F.lit(1)).alias("__nb"))
-    n_sizes = ni.groupBy("__nid").agg(F.count(F.lit(1)).alias("__nn"))
     inter = (
         ni.join(bi, "__sh")
         .groupBy(F.col("__nid").alias("new_id"), F.col("__bid").alias("base_id"))
@@ -772,7 +804,7 @@ def incremental_dups_against_index(
         F.col("__inter") / (F.col("__nn") + F.col("__nb") - F.col("__inter")), 4
     )
     return (
-        inter.join(n_sizes.withColumnRenamed("__nid", "new_id"), "new_id")
+        inter.join(n_sizes, "new_id")
         .join(b_sizes.withColumnRenamed("__bid", "base_id"), "base_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)

@@ -230,7 +230,12 @@ def build_vocab(
     (gated by test_plan_quality.test_vocab_rank_distributed)."""
     from pyspark.sql import Window
 
-    counts = (
+    # vocab-sized cache BEFORE repartitionByRange: the range exchange
+    # runs a boundary-sampling job over its child, which would
+    # otherwise re-execute the whole corpus tokenize+count pass just
+    # to pick split points (round 11, guide §1.2/§5 — the plan showed
+    # the documents scan 6x; the sample now reads this tiny cache)
+    counts = track_cache(
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))

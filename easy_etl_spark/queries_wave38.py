@@ -311,7 +311,12 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries one row per distinct (doc, char), bounded by
     alphabet size per doc, far below text bytes; the input is fanned
     out across cores before the explode (scan partitioning sizes by
-    pre-explode bytes)."""
+    pre-explode bytes). Round 11 (guide §4.2-adjacent CPU shape): the
+    chars come from ONE split(text, '') per doc — the previous
+    sequence-explode called substring(text, i, 1) per position, an
+    O(n) codepoint walk per call ⇒ O(n²) per doc. split('') splits on
+    codepoints (non-BMP chars stay whole, verified), exactly matching
+    length(text) counting."""
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text", F.length("text").alias("n"))
@@ -327,13 +332,7 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "n",
-            "text",
-            F.explode(F.sequence(F.lit(1), F.col("n").cast("int"), F.lit(1))).alias(
-                "i"
-            ),
-        )
-        .select(
-            "doc_id", "lang", "n", F.expr("substring(text, i, 1)").alias("ch")
+            F.explode(F.split("text", "")).alias("ch"),
         )
         .groupBy("doc_id", "lang", "n", "ch")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -67,7 +67,10 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the lag window partitions by user_id — millions of small
     independent partitions, no global window. The transition counts
-    collapse to |types|^2 rows; the row-total join broadcasts."""
+    collapse to |types|^2 rows; the row totals come from a window SUM
+    over that tiny frame (round 11, guide §1.2): the aggregate+join
+    form re-executed the whole events scan → lag window → count
+    pipeline a second time just to build the |types|-row totals."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -76,12 +79,14 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = seq.groupBy(
         "prev_type", F.col("event_type").alias("next_type")
     ).agg(F.count(F.lit(1)).alias("n"))
-    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
-    return trans.join(F.broadcast(tot), "prev_type").select(
+    wt = Window.partitionBy("prev_type")
+    return trans.select(
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("bigint"), 6
+        ).alias("p"),
     )
 
 

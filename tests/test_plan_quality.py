@@ -267,9 +267,14 @@ def test_containment_no_cartesian(spark, sf_dir):
     assert f.cartesian == 0
 
 
-def test_event_transitions_broadcast_totals_and_pruned_scan(spark, sf_dir):
+def test_event_transitions_single_pass_and_pruned_scan(spark, sf_dir):
+    # round 11: the row totals are a window SUM over the |types|^2
+    # transition frame — the events scan -> lag window -> count
+    # pipeline must appear ONCE (the old aggregate+broadcast-join form
+    # executed it twice, once per branch)
     f = _facts(spark, sf_dir, "event_transitions")
-    assert f.broadcast_joins >= 1 and f.sort_merge_joins == 0
+    assert f.broadcast_joins == 0 and f.sort_merge_joins == 0, f.text
+    assert f.text.count("Scan parquet") <= 2, f.text  # tree line + detail header
     assert f.scans_only_columns("user_id", "ts", "event_id", "event_type"), f.read_schemas
 
 
