@@ -745,7 +745,13 @@ def mmr_rerank(
         F.col("__v").alias("vec"),
         F.col("__n").alias("nrm"),
     )
-    joined = cand.join(vecs, "neighbor_id").select(
+    # candidate-vector fetch: broadcast the BOUNDED candidate list
+    # (k_cand x |queries| rows by construction) and stream the corpus
+    # past it — left to stats, Catalyst picked the other side and
+    # broadcast the whole normalized CORPUS, which only fits at toy
+    # scale (round 11, guide §3.1: broadcast the side bounded by the
+    # query, not the data)
+    joined = vecs.join(F.broadcast(cand), "neighbor_id").select(
         "query_id", "neighbor_id", "cosine", "vec", "nrm"
     )
 

@@ -399,7 +399,13 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the projection is a per-row map (64*8 multiply-adds, no
     shuffle) — at 100 TB it runs in the scan stage; the pair join is
     over the bounded 50-row sample (broadcast nested loop on a frame
-    whose size is fixed by construction, not by data)."""
+    whose size is fixed by construction, not by data). Round 11
+    (guide §5.2): the 50-row projected frame rides track_cache — the
+    self-join's two branches each re-scanned and re-projected the
+    embeddings parquet (array decode is the dominant cost; row-group
+    stats cannot prune vec_id<50 inside a row group)."""
+    from .session import track_cache
+
     signs = _jl_signs()
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -426,7 +432,7 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"p{j}")
         for j in range(JL_K)
     ]
-    pv = emb.select("vec_id", "q", *proj_cols)
+    pv = track_cache(emb.select("vec_id", "q", *proj_cols))
     a, b = pv.alias("a"), pv.alias("b")
     d2o = F.aggregate(
         F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: (x - y) * (x - y)),
