@@ -88,7 +88,11 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.split(F.trim("text"), " ").alias("w"))
     uni = toks.select(F.explode("w").alias("tok"))
     ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("u"))
-    utot = uni.agg(F.count(F.lit(1)).alias("t_toks"))
+    # round 11 (guide §1.2): the totals are row counts of the exploded
+    # streams, i.e. exact array-length sums — one explode-free scan
+    # each (sum(size(w))) instead of re-running the corpus explode a
+    # second time per stream
+    utot = toks.agg(F.sum(F.size("w")).cast("bigint").alias("t_toks"))
     bi = (
         toks.where(F.size("w") >= 2)
         .select(
@@ -102,7 +106,9 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g.w1", "g.w2")
     )
     bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b"))
-    btot = bi.agg(F.count(F.lit(1)).alias("t_bi"))
+    btot = toks.where(F.size("w") >= 2).agg(
+        F.sum(F.size("w") - 1).cast("bigint").alias("t_bi")
+    )
 
     def qln(x):
         return F.floor(F.log(x) * 1e6 + F.lit(0.5)).cast("bigint")

@@ -149,7 +149,12 @@ def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats.
 
     Scale: the lag window partitions by user; everything after the
-    |types|²-row transition count is dims-sized."""
+    |types|²-row transition count is dims-sized. Round 11 (guide
+    §1.2, the event_transitions fix): the plan is LINEAR — row totals
+    ride a window SUM over the tiny transition frame and the grand
+    total folds into the same final aggregate, so the events scan →
+    lag window → count pipeline appears once (the old
+    rowt/tot/units branches executed it three times)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -158,23 +163,22 @@ def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    rowt = trans.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("nr"))
-    tot = trans.agg(F.sum("n").cast("bigint").alias("nt"))
-    units = (
-        trans.join(F.broadcast(rowt), "prev_type")
-        .agg(
-            F.sum(
-                F.col("n")
-                * F.floor(
-                    F.log(F.col("n") * 1.0 / F.col("nr")) * 1000000.0 + F.lit(0.5)
-                ).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("u")
+    wr = Window.partitionBy("prev_type")
+    units = trans.withColumn(
+        "nr", F.sum("n").over(wr).cast("bigint")
+    ).agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(
+            F.col("n")
+            * F.floor(
+                F.log(F.col("n") * 1.0 / F.col("nr")) * 1000000.0 + F.lit(0.5)
+            ).cast("bigint")
         )
+        .cast("bigint")
+        .alias("u"),
     )
     h = -(F.col("u").cast("double") / 1000000.0) / F.col("nt")
-    return units.crossJoin(F.broadcast(tot)).select(
+    return units.select(
         F.col("nt").alias("n_transitions"),
         F.round(h, 6).alias("cond_entropy_nats"),
         F.round(F.exp(h), 4).alias("perplexity"),
