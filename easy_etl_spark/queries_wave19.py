@@ -53,23 +53,31 @@ def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine materializes level by level exactly like the hand-written
     Pregel loops (graph.bfs_hops) but plans/reuses it internally;
     depth is log2(|customers|), so ~30 levels even at billions of
-    rows. The customer dim rides track_cache (round 11, guide §5):
-    every recursion level hash-joins against it, so without the cache
-    a depth-d tree re-reads and re-decodes the parquet d times —
-    released by the caller's release_caches."""
-    track_cache(load_table(spark, sf_dir, "customer")).createOrReplaceTempView(
-        "customer"
-    )
+    rows. The (c_custkey, c_acctbal) PROJECTION of the dim rides
+    track_cache (round 11, guide §5): every recursion level hash-joins
+    against it, so without the cache a depth-d tree re-reads and
+    re-decodes the parquet d times — released by the caller's
+    release_caches. The cache is the pruned projection under a scoped
+    view name, NOT the verbatim base table under "customer": caching
+    the raw load_table made Spark's CacheManager substitute the
+    InMemoryRelation into EVERY later customer scan in the session
+    (q3's c_mktsegment pushdown vanished — caught by the full-suite
+    plan gate), and re-registering "customer" stomped the session
+    view."""
+    track_cache(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ).createOrReplaceTempView("__org_customer_r11")
     return spark.sql(
         """
         WITH RECURSIVE org AS (
           SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth,
-                 (SELECT c_acctbal FROM customer WHERE c_custkey = 1) AS bal
+                 (SELECT c_acctbal FROM __org_customer_r11
+                  WHERE c_custkey = 1) AS bal
           UNION ALL
           SELECT c.c_custkey, f.depth + 1, c.c_acctbal
           FROM (SELECT explode(array(2 * k, 2 * k + 1)) AS child, depth
                 FROM org) f
-          JOIN customer c ON c.c_custkey = f.child
+          JOIN __org_customer_r11 c ON c.c_custkey = f.child
         )
         SELECT depth, count(*) AS n,
                CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)

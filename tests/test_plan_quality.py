@@ -278,6 +278,25 @@ def test_event_transitions_single_pass_and_pruned_scan(spark, sf_dir):
     assert f.scans_only_columns("user_id", "ts", "event_id", "event_type"), f.read_schemas
 
 
+def test_query_caches_do_not_leak_into_base_scans(spark, sf_dir):
+    # round 11 regression: recursive_org_rollup used to track_cache the
+    # VERBATIM customer load_table — CacheManager then substituted the
+    # InMemoryRelation into every later customer scan in the session,
+    # silently killing pushdown/pruning (q3 lost its c_mktsegment
+    # PushedFilters). Query-level caches must be query-specific
+    # projections that never match another query's scan.
+    from easy_etl_spark.session import release_caches
+
+    try:
+        QUERIES["recursive_org_rollup"](spark, sf_dir)  # construct only
+        f = _facts(spark, sf_dir, "q3_top_orders")
+        assert any("c_mktsegment" in p for p in f.pushed_filters), (
+            "a query-level cache leaked into the base customer scan:\n" + f.text
+        )
+    finally:
+        release_caches()
+
+
 def test_chi2_marginals_broadcast(spark, sf_dir):
     # row/column/grand totals all derive from the tiny cell frame and
     # must broadcast back — never shuffle the fact table again
