@@ -143,10 +143,13 @@ def ngram_jaccard_pairs(
 
     Round 11: the index self-join became the in-row pair expansion of
     _pair_intersections (one index exchange instead of two). The index
-    feeds two consumers (pair groups + per-doc sizes) — tracked-cached
-    so tokenize+explode runs once (release via
-    session.release_caches)."""
-    idx = track_cache(_shingle_index(docs, text_col, id_col, k))
+    is deliberately NOT cached: its two consumers (pair groups +
+    per-doc sizes) re-run the tokenize+explode subtree, which a 6-rep
+    same-window bisect measured ~15-20% FASTER than materializing the
+    exploded index into the cache (med 2.61 vs 3.20 s at sf0.1) — and
+    at 100 TB an exploded-inverted-index cache cannot fit memory, so
+    uncached is also the only shape that scales (guide §5)."""
+    idx = _shingle_index(docs, text_col, id_col, k)
     sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = _pair_intersections(idx)
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
@@ -232,8 +235,9 @@ def containment_pairs(
     fully quoted inside a 5000-shingle doc has Jaccard ≈ 0.01 but
     containment 1.0. Same inverted-index shape (and 100 TB posture) as
     ngram_jaccard_pairs, including the round-11 in-row pair expansion
-    (_pair_intersections); only the denominator differs."""
-    idx = track_cache(_shingle_index(docs, text_col, id_col, k))
+    (_pair_intersections) and the round-11 uncached index (see the
+    measured bisect note there); only the denominator differs."""
+    idx = _shingle_index(docs, text_col, id_col, k)
     sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = _pair_intersections(idx)
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
@@ -408,9 +412,22 @@ def duplicate_clusters(
     hash-to-min (O(log n) rounds); for training-data dedup this is the
     right simple tool.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().persist()
+    # both edge directions from ONE pass over pairs (round 11, guide
+    # §1.2): the old fwd/rev unionByName re-ran the entire upstream
+    # pair pipeline once per branch inside the edges materialization
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .persist()
+    )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint(eager=False)
