@@ -181,8 +181,11 @@ def bfs_hops_adjacency(
     )
     if source is None:
         source = adj.agg(F.min("v")).first()[0]
+    # seed frame takes the adjacency's OWN node type (ADVICE r11: a
+    # hardcoded "v long" type-mismatched non-long node ids despite the
+    # operator exposing node_col generality)
     f0 = track_cache(
-        spark.createDataFrame([(source,)], "v long")
+        spark.createDataFrame([(source,)], adj.select("v").schema)
     )
     frontiers = [f0]  # frontiers[h] = nodes first seen at hop h
     for h in range(1, max_hops + 1):

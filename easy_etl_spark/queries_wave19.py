@@ -67,7 +67,7 @@ def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     track_cache(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     ).createOrReplaceTempView("__org_customer_r11")
-    return spark.sql(
+    df = spark.sql(
         """
         WITH RECURSIVE org AS (
           SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth,
@@ -85,3 +85,8 @@ def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM org GROUP BY depth
         """
     )
+    # spark.sql analyzes eagerly, so the resolved plan keeps the cached
+    # projection; drop the scoped view so it cannot linger in the
+    # session catalog across queries (ADVICE r11)
+    spark.catalog.dropTempView("__org_customer_r11")
+    return df
