@@ -918,6 +918,7 @@ def semantic_dedup_int(
     n_lists: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication, integer-exact: coarse-
     quantize every vector into an IVF cell (pinned lowest-id seeds,
@@ -933,63 +934,178 @@ def semantic_dedup_int(
     of |corpus|² — at 100 TB the cells are the same partition-bounded
     buckets the ANN index already maintains, so dedup rides the
     existing index. Every decision (quantize, assign, d², survivor) is
-    integer arithmetic a SQL oracle replays bit-for-bit."""
-    corpus = emb.select(F.col(id_col).alias("__id"), qvec(F.col(vec_col)).alias("__q"))
-    seeds = corpus.orderBy("__id").limit(n_lists).collect()
-    cents = [list(r["__q"]) for r in seeds]
+    integer arithmetic a SQL oracle replays bit-for-bit.
 
-    def cell(vec: Column) -> Column:
-        alts = [
-            F.struct(
-                _d2_int(vec, F.array(*[F.lit(int(c)) for c in cent])).alias("d2"),
-                F.lit(i).alias("c"),
-            )
-            for i, cent in enumerate(cents)
-        ]
-        return F.array_min(F.array(*alts))["c"]
+    Round 12 (VERDICT r11 item 6; guide §2.5/§4.2/§8):
 
-    assigned = corpus.withColumn("__cell", cell(F.col("__q")))
+    * quantize+assign moved from interpreted Column lambdas (8
+      ``aggregate``/``zip_with`` folds per row — measured 4.7 s per
+      corpus pass at sf1, and the plan evaluated it twice) into ONE
+      Arrow-batched mapInPandas numpy pass: floor(x·1e6 + 0.5) and the
+      argmin of integer d² over the n_lists centroids are the same
+      IEEE-double / int64 operations, and np.argmin's first-index rule
+      is exactly the (d2, c) struct-min tie-break. The node-scale
+      (id, cell) frame rides track_cache for the final join, so the
+      corpus-scale python pass runs once per consumer branch.
+    * the within-cell survivor scan no longer runs as ONE task per
+      cell (n_lists tasks total — 8 tasks on a 32-core host, one
+      straggler per big cell at 100 TB): each cell's members fan out
+      to block PAIRS (the embedding_dup_pairs triangle layout), so the
+      O(Σ|cell|²) compute spreads over n_lists·B(B+1)/2 tasks and peak
+      task memory is two BLOCKS, not a whole cell. A vector is a loser
+      iff some same-cell smaller id sits within d2_threshold — every
+      such pair lands in exactly one (cell, bl, br) task, which emits
+      the pair's larger id; the union of emitted ids is identical to
+      the per-cell scan's loser set.
+    * the block Gram matmul runs in float64 BLAS (multithreaded,
+      ~10-50x int64 numpy's naive loops) with EXACT results: with
+      |q| ≤ qmax every intermediate (q², n2 ≤ dim·qmax², cross term
+      ≤ 2·dim·qmax², d² ≤ 4·dim·qmax²) is an integer, and all of them
+      stay < 2^53 whenever 4·dim·qmax² < 2^53 (qmax ≤ 5.9e6 at
+      dim 64 — qvec's unit-scale 1e6 quantization sits 6x inside).
+      The guard is checked per task; out-of-range data falls back to
+      the int64 path, so exactness never rests on the data contract.
+    """
+    import math
 
-    # Within-cell survivor scan as ONE applyInPandas per cell: the d²
-    # for all pairs of an m-vector cell is a numpy int64 Gram matmul
-    # (exact — |q|≤1e6 ⇒ per-pair d² ≤ dim·4e12 ≪ 2^63), ~100x the
-    # per-pair throughput of evaluating a zip_with/aggregate lambda on
-    # Σ|cell|² joined rows (measured 5.2 s → 0.6 s at sf0.1, ~7 min →
-    # ~3 s at sf1, identical output). Row blocks bound peak memory to
-    # block·m·8 B, so a cell never materializes an m×m matrix; the
-    # cell itself must fit one executor group — bounded by design,
-    # since n_lists scales with the corpus (SemDeDup cells are the
-    # partition-sized buckets the ANN index already maintains).
-    def cell_losers(pdf):
-        import numpy as np
+    import numpy as np
+
+    from ..session import track_cache
+
+    # seeds: the n_lists lowest-id vectors, quantized driver-side with
+    # the same floor(x·1e6 + 0.5) double arithmetic (bounded collect;
+    # avoids evaluating an interpreted qvec over the whole corpus just
+    # to TakeOrdered 8 rows)
+    seed_rows = emb.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    cents = np.array(
+        [
+            [int(math.floor(float(x) * Q_SCALE + 0.5)) for x in r[vec_col]]
+            for r in seed_rows
+        ],
+        dtype=np.int64,
+    )
+    c_sq = (cents * cents).sum(axis=1)
+
+    def assign(batches):
         import pandas as pd
 
-        ids = pdf["__id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        Q = np.stack(pdf["__q"].to_numpy())[order].astype("int64")
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame({"__loser": np.array([], dtype="int64")})
-        n2 = (Q * Q).sum(axis=1)
-        loser = np.zeros(m, dtype=bool)
-        blk = 1024
-        for r0 in range(0, m, blk):
-            r1 = min(r0 + blk, m)
-            # d²(i, j) for rows i∈[r0,r1) vs ALL j: ids sorted, so a
-            # row i makes loser every j > i within the threshold
-            D = n2[r0:r1, None] + n2[None, :] - 2 * (Q[r0:r1] @ Q.T)
-            hit = D <= d2_threshold
-            cols = np.arange(m)[None, :]
-            rows = np.arange(r0, r1)[:, None]
-            loser |= (hit & (cols > rows)).any(axis=0)
-        return pd.DataFrame({"__loser": ids[loser].astype("int64")})
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.floor(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                * Q_SCALE
+                + 0.5
+            )
+            Xi = X.astype(np.int64)
+            # argmin_c |x - c|² = argmin_c (|c|² - 2 x·c) + |x|²; the
+            # comparison happens in exact int64 (|2 x·c| ≤ 2·dim·qmax²)
+            scores = c_sq[None, :] - 2 * (Xi @ cents.T)
+            cell = np.argmin(scores, axis=1)  # first index on ties = lowest c
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col].astype("int64"),
+                    "__cell": cell.astype("int32"),
+                    "__q": list(Xi),
+                }
+            )
 
-    losers = assigned.select("__cell", "__id", "__q").groupBy("__cell").applyInPandas(
-        cell_losers, "__loser long"
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"__id long, __cell int, __q array<long>"
+    )
+    # node-scale (id, cell) — cached so the final join does not re-run
+    # the corpus python pass; released by the caller's release_caches()
+    id_cell = track_cache(assigned.select("__id", "__cell"))
+
+    # ---- block-pair fan-out within each cell ----
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    if n_blocks is None:
+        # CPU floor: n_lists·B(B+1)/2 ≥ 4·parallelism tasks; bytes
+        # floor: ≥1 block per ~8 MB of estimated per-cell scan bytes so
+        # a block pair stays comfortably in task memory at any rung
+        # (plan-stats estimate, lazy — same trick as embedding_dup_pairs)
+        need = max(1.0, 4.0 * parallelism / n_lists)
+        b_cpu = math.ceil((math.sqrt(1.0 + 8.0 * need) - 1.0) / 2.0)
+        try:
+            size = int(
+                str(emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            if size <= 0 or size > (1 << 50):
+                size = None
+        except Exception:
+            size = None
+        b_bytes = (
+            1 if size is None else max(1, math.ceil(size / n_lists / (8 << 20)))
+        )
+        n_blocks = max(1, min(64, max(b_cpu, b_bytes)))
+    b = F.pmod(F.col("__id"), F.lit(n_blocks)).cast("long")
+    lkeys = F.transform(
+        F.sequence(b, F.lit(n_blocks - 1).cast("long")),
+        lambda r: F.struct(b.alias("bl"), r.alias("br"), F.lit(0).alias("side")),
+    )
+    rkeys = F.transform(
+        F.sequence(F.lit(0).cast("long"), b),
+        lambda l: F.struct(l.alias("bl"), b.alias("br"), F.lit(1).alias("side")),
+    )
+    ex = assigned.select(
+        "__cell", F.explode(F.concat(lkeys, rkeys)).alias("__k"), "__id", "__q"
+    ).select(
+        "__cell",
+        F.col("__k.bl").alias("bl"),
+        F.col("__k.br").alias("br"),
+        F.col("__k.side").alias("side"),
+        "__id",
+        "__q",
+    )
+    # pin the pair partitioning explicitly: the matmul stage is
+    # compute-bound but byte-light — the exact shape AQE's byte-based
+    # coalescing mis-sizes (the embedding_dup_pairs lesson); the user
+    # repartition also satisfies applyInPandas' clustering requirement
+    n_pairs = n_lists * n_blocks * (n_blocks + 1) // 2
+    ex = ex.repartition(min(max(n_pairs, 2), 4096), "__cell", "bl", "br")
+
+    def block_losers(pdf):
+        import pandas as pd
+
+        side = pdf["side"].to_numpy()
+        li = pdf["__id"].to_numpy()[side == 0]
+        ri = pdf["__id"].to_numpy()[side == 1]
+        if len(li) == 0 or len(ri) == 0:
+            return pd.DataFrame({"__loser": np.array([], dtype="int64")})
+        vecs = pdf["__q"].to_numpy()
+        L = np.stack(vecs[side == 0]).astype("int64")
+        R = np.stack(vecs[side == 1]).astype("int64")
+        dim = L.shape[1]
+        qmax = max(np.abs(L).max(), np.abs(R).max()) if len(L) and len(R) else 0
+        exact_f64 = 4.0 * dim * float(qmax) * float(qmax) < float(1 << 53)
+        if exact_f64:
+            Lw, Rw = L.astype("float64"), R.astype("float64")
+        else:  # data outside the unit-embedding contract: exact int64
+            Lw, Rw = L, R
+        n2l = (Lw * Lw).sum(axis=1)
+        n2r = (Rw * Rw).sum(axis=1)
+        loser_l = np.zeros(len(li), dtype=bool)
+        loser_r = np.zeros(len(ri), dtype=bool)
+        blk = 1024
+        for r0 in range(0, len(li), blk):
+            r1 = min(r0 + blk, len(li))
+            D = n2l[r0:r1, None] + n2r[None, :] - 2 * (Lw[r0:r1] @ Rw.T)
+            hit = D <= d2_threshold
+            # the LARGER id of a close pair is the loser; equal ids
+            # (the diagonal block carries each vector on both sides)
+            # match neither mask, so nothing self-marks
+            loser_r |= (hit & (li[r0:r1, None] < ri[None, :])).any(axis=0)
+            loser_l[r0:r1] |= (hit & (li[r0:r1, None] > ri[None, :])).any(axis=1)
+        out = np.unique(np.concatenate([li[loser_l], ri[loser_r]]))
+        return pd.DataFrame({"__loser": out.astype("int64")})
+
+    losers = (
+        ex.groupBy("__cell", "bl", "br")
+        .applyInPandas(block_losers, "__loser long")
+        .distinct()
     )
     return (
-        assigned.join(losers, assigned.__id == losers.__loser, "left")
+        id_cell.join(losers, id_cell.__id == losers.__loser, "left")
         .select(
             F.col("__id").alias(id_col),
             F.col("__cell").cast("int").alias("cell"),
