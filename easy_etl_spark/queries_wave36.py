@@ -707,20 +707,29 @@ def kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = _copurchase_adjacency(li)
     c = adj.select("v", F.size("ns").cast("long").alias("c"))
     for _ in range(3):
+        # Round 12 (guide §2.4): ONE src-keyed exchange per round — the
+        # (src, value) pre-count plus its second exchange fold into a
+        # single collect_list of RAW neighbor values with the same
+        # desc-sorted H-index recurrence run positionally (min(v_i, i)
+        # over the 1-based desc order; identical to the (value, count)
+        # fold expanded). Byte trade recorded: the raw list forgoes the
+        # (src, c)→count map-side combining, but neighbor values are
+        # near-distinct per node here (multiplicity ~1), and the
+        # whole second exchange disappears. Parity asserted at
+        # sf0.001/sf0.1/sf1 (tools/exp_graph_r12.py); same-window A/B:
+        # med 7.72 → 5.68 s at sf0.1, flat at sf1.
         c = (
             adj.join(c, "v")
             .select(F.explode("ns").alias("src"), "c")
-            .groupBy("src", "c")
-            .agg(F.count(F.lit(1)).alias("n"))
             .groupBy(F.col("src").alias("v"))
-            .agg(F.collect_list(F.struct("c", "n")).alias("vs"))
+            .agg(F.collect_list("c").alias("vs"))
             .select(
                 "v",
                 F.expr(
                     "aggregate(reverse(array_sort(vs)), "
-                    "named_struct('acc', 0L, 'best', 0L), "
-                    "(a, x) -> named_struct('acc', a.acc + x.n, "
-                    "'best', greatest(a.best, least(x.c, a.acc + x.n))), "
+                    "named_struct('i', 0L, 'best', 0L), "
+                    "(a, x) -> named_struct('i', a.i + 1L, "
+                    "'best', greatest(a.best, least(x, a.i + 1L))), "
                     "a -> a.best)"
                 ).alias("c"),
             )
